@@ -1,0 +1,153 @@
+"""Torch-semantics neural-net primitives, NHWC, for TPU.
+
+Every op here is a behavioral twin of the torch layer the reference uses
+(reference models/model_architectures.py), verified by golden tests against
+CPU torch in tests/test_ops_vs_torch.py.  Layout is NHWC (TPU-native) with
+HWIO kernels; the reference's NCHW tensors map to these at the IO boundary.
+
+Design notes (TPU):
+- convs lower to XLA convolutions that tile onto the MXU; channel counts in
+  this model family (64..1024) align well with 128-lane registers.
+- conv_transpose is expressed as an input-dilated conv (lhs_dilation), the
+  exact functional equivalent of torch's ConvTranspose2d including
+  output_padding; XLA handles dilated convs natively on TPU.
+- normalisations are written so XLA fuses them into neighbouring ops; a
+  fused Pallas instance-norm kernel lives in ops/pallas_kernels.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+DIMSPEC = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    stride: int = 1,
+    padding: int = 0,
+) -> jax.Array:
+    """torch.nn.Conv2d twin. ``w`` is HWIO; torch's OIHW maps via
+    ``w_torch.permute(2, 3, 1, 0)``.  Both are cross-correlations."""
+    out = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=DIMSPEC,
+    )
+    if b is not None:
+        out = out + b
+    return out
+
+
+def conv_transpose2d(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    stride: int = 2,
+    padding: int = 1,
+    output_padding: int = 0,
+) -> jax.Array:
+    """torch.nn.ConvTranspose2d twin via the input-dilated-conv identity.
+
+    ``w`` is (kh, kw, C_in, C_out); torch's (C_in, C_out, kh, kw) maps via
+    ``w_torch.permute(2, 3, 0, 1)``.  ConvTranspose(x, W, s, p, op) ==
+    cross-correlate(dilate(x, s) padded with (k-1-p, k-1-p+op),
+    spatial-flip(W)).  Output size: (in-1)*s - 2p + k + op, identical to
+    torch (reference generators use k4 s2 p1 and k3 s2 p1 op1, both 2x).
+    """
+    kh, kw = w.shape[0], w.shape[1]
+    out = lax.conv_general_dilated(
+        x,
+        jnp.flip(w, (0, 1)),
+        window_strides=(1, 1),
+        padding=(
+            (kh - 1 - padding, kh - 1 - padding + output_padding),
+            (kw - 1 - padding, kw - 1 - padding + output_padding),
+        ),
+        lhs_dilation=(stride, stride),
+        dimension_numbers=DIMSPEC,
+    )
+    if b is not None:
+        out = out + b
+    return out
+
+
+def batch_norm(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    eps: float = 1e-5,
+) -> jax.Array:
+    """torch.nn.BatchNorm2d in *training mode* — batch statistics over
+    (N, H, W), biased variance.
+
+    The reference never calls ``.eval()`` on its networks, so batch-stats
+    normalisation applies at inference too (reference models/model.py:393,
+    497, 579 pin the RNG instead; SURVEY.md §2.7).  Running statistics are
+    therefore deliberately not tracked: they would never be consumed.
+    """
+    mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
+    var = jnp.var(x, axis=(0, 1, 2), keepdims=True)
+    inv = lax.rsqrt(var + eps)
+    return (x - mean) * inv * scale + bias
+
+
+def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """torch.nn.InstanceNorm2d twin (default affine=False,
+    track_running_stats=False): per-(N, C) statistics over (H, W),
+    biased variance."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    return (x - mean) * lax.rsqrt(var + eps)
+
+
+def reflect_pad2d(x: jax.Array, pad: int) -> jax.Array:
+    """torch.nn.ReflectionPad2d / F.pad(mode='reflect') twin on H, W."""
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+
+
+def leaky_relu(x: jax.Array, negative_slope: float = 0.2) -> jax.Array:
+    return jnp.where(x >= 0, x, x * negative_slope)
+
+
+def dropout(x: jax.Array, rate: float, rng: jax.Array, deterministic: bool = False) -> jax.Array:
+    """torch.nn.Dropout twin (inverted dropout).  The reference keeps
+    dropout active at inference under a fixed seed (SURVEY.md §2.7), so
+    callers pass ``deterministic=False`` with the fixed inference key."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, p=keep, shape=x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def max_pool2d(x: jax.Array, window: int = 2, stride: Optional[int] = None) -> jax.Array:
+    """torch.nn.MaxPool2d(window) twin (no padding)."""
+    stride = stride or window
+    return lax.reduce_window(
+        x,
+        -jnp.inf,
+        lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding="VALID",
+    )
+
+
+def pad_to_match(x: jax.Array, target_h: int, target_w: int) -> jax.Array:
+    """torch F.pad([dX//2, dX-dX//2, dY//2, dY-dY//2]) twin used by the
+    segmentation U-Net up-path (reference model_architectures.py:575-578)."""
+    dh = target_h - x.shape[1]
+    dw = target_w - x.shape[2]
+    return jnp.pad(
+        x,
+        ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)),
+    )
