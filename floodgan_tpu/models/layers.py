@@ -1,0 +1,89 @@
+"""Flax linen wrappers over the torch-semantics ops.
+
+Parameter initialisation follows the reference's ``initialise_weights``
+(reference models/model.py:162-173): conv/linear weights ~ N(0, 0.02) with
+zero bias, BatchNorm scale ~ N(1, 0.02) with zero bias.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from floodgan_tpu import ops
+
+conv_init = nn.initializers.normal(stddev=0.02)
+
+
+def bn_scale_init(key, shape, dtype=jnp.float32):
+    return 1.0 + 0.02 * jax.random.normal(key, shape, dtype)
+
+
+class TorchConv(nn.Module):
+    """nn.Conv2d twin (HWIO kernel, cross-correlation)."""
+
+    features: int
+    kernel: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param(
+            "weight", conv_init, (self.kernel, self.kernel, x.shape[-1], self.features)
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        return ops.conv2d(x, w, b, stride=self.stride, padding=self.padding)
+
+
+class TorchConvTranspose(nn.Module):
+    """nn.ConvTranspose2d twin ((kh, kw, C_in, C_out) kernel)."""
+
+    features: int
+    kernel: int
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param(
+            "weight", conv_init, (self.kernel, self.kernel, x.shape[-1], self.features)
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        return ops.conv_transpose2d(
+            x, w, b, stride=self.stride, padding=self.padding,
+            output_padding=self.output_padding,
+        )
+
+
+class TorchBatchNorm(nn.Module):
+    """nn.BatchNorm2d twin, permanently in training mode (batch statistics).
+
+    The reference never switches its networks to eval mode (SURVEY.md §2.7),
+    so running statistics would never be read and are not kept.
+    """
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", bn_scale_init, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return ops.batch_norm(x, scale, bias)
+
+
+class TorchDropout(nn.Module):
+    """nn.Dropout twin.  Always active — the reference runs dropout at
+    inference under a pinned RNG (reference models/model.py:393,497,579);
+    callers control determinism purely through the 'dropout' rng they pass."""
+
+    rate: float = 0.5
+
+    @nn.compact
+    def __call__(self, x):
+        if self.rate == 0.0:
+            return x
+        return ops.dropout(x, self.rate, self.make_rng("dropout"))

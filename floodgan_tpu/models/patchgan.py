@@ -1,0 +1,45 @@
+"""70x70 PatchGAN discriminator, covering all four reference variants.
+
+The reference defines four discriminators (model_architectures.py:64-85,
+:136-157, :278-299, :420-441) that differ only in (a) norm layer — BatchNorm
+(Pix2Pix) vs InstanceNorm (the rest) — and (b) whether the input is the
+condition stack concatenated with the RGB image (+3 channels, Pix2Pix and
+PairedAttention) or the image alone (CycleGAN, AttentionGAN).  Conditioning
+is the *caller's* concatenation, so one module parameterised by norm type
+covers all four:
+
+  C64(k4 s2, lrelu) - C128(norm, lrelu) - C256(norm, lrelu)
+  - C512(k4 s1, norm, lrelu) - C1(k4 s1)           [patch logit map, LSGAN]
+
+torch bias conventions preserved: with BatchNorm the normed convs drop
+their bias (ref :74, :78); with InstanceNorm they keep it (ref :146, :150).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+
+from floodgan_tpu import ops
+from floodgan_tpu.models.layers import TorchBatchNorm, TorchConv
+
+
+class PatchGANDiscriminator(nn.Module):
+    norm: str = "instance"  # "batch" | "instance"
+
+    @nn.compact
+    def __call__(self, x):
+        use_bias = self.norm != "batch"
+
+        def normed(h, name):
+            if self.norm == "batch":
+                return TorchBatchNorm(name=name)(h)
+            return ops.instance_norm(h)
+
+        h = TorchConv(64, 4, 2, 1, name="conv0")(x)
+        h = ops.leaky_relu(h, 0.2)
+        for n, chl in enumerate([128, 256], start=1):
+            h = TorchConv(chl, 4, 2, 1, use_bias=use_bias, name=f"conv{n}")(h)
+            h = ops.leaky_relu(normed(h, f"norm{n}"), 0.2)
+        h = TorchConv(512, 4, 1, 1, use_bias=use_bias, name="conv3")(h)
+        h = ops.leaky_relu(normed(h, "norm3"), 0.2)
+        return TorchConv(1, 4, 1, 1, name="conv4")(h)

@@ -1,0 +1,57 @@
+"""Model-name -> architecture dispatch (reference models/model.py:81-94).
+
+The conditional-discriminator property (input = condition stack ⊕ RGB
+image, +3 channels) belongs to Pix2Pix and PairedAttention; CycleGAN and
+AttentionGAN discriminate the image alone (reference
+model_architectures.py:68, :140, :282, :424).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+
+from floodgan_tpu.core.config import _check_model
+from floodgan_tpu.models.attention import AttentionGenerator
+from floodgan_tpu.models.cyclegan import CycleGANGenerator
+from floodgan_tpu.models.patchgan import PatchGANDiscriminator
+from floodgan_tpu.models.pix2pix import Pix2PixGenerator
+
+_GENERATORS = {
+    "pix2pix": Pix2PixGenerator,
+    "cyclegan": CycleGANGenerator,
+    "attentiongan": AttentionGenerator,
+    "pairedattention": AttentionGenerator,
+}
+
+_DISC_NORM = {
+    "pix2pix": "batch",
+    "cyclegan": "instance",
+    "attentiongan": "instance",
+    "pairedattention": "instance",
+}
+
+_DISC_CONDITIONAL = {
+    "pix2pix": True,
+    "cyclegan": False,
+    "attentiongan": False,
+    "pairedattention": True,
+}
+
+
+def build_generator(model: str, input_channels: int) -> nn.Module:
+    model = _check_model(model)
+    return _GENERATORS[model](input_channels=input_channels)
+
+
+def build_discriminator(model: str) -> nn.Module:
+    model = _check_model(model)
+    return PatchGANDiscriminator(norm=_DISC_NORM[model])
+
+
+def discriminator_is_conditional(model: str) -> bool:
+    return _DISC_CONDITIONAL[_check_model(model)]
+
+
+def generator_returns_mask(model: str) -> bool:
+    """Attention generators return (output, background_mask)."""
+    return _GENERATORS[_check_model(model)] is AttentionGenerator
