@@ -1,0 +1,289 @@
+"""Host-side dataset + prefetching batch loader feeding device transforms.
+
+Replaces the reference's torch DataLoader stack (reference models/data.py):
+the host decodes TIFFs on a thread pool and assembles raw batches; channel
+slicing / resize / crop / normalisation run jitted on device
+(data/transforms.py).  Batch size and prefetch depth are first-class (the
+reference hardcodes batch 1, num_workers 0 — models/data.py:17-18);
+``batch_size=1, shuffle per-epoch`` reproduces its behavior exactly.
+
+Epoch data order is deterministic per (seed, epoch), mirroring the
+reference's ``torch.manual_seed(epoch)`` discipline (models/model.py:609).
+"""
+
+from __future__ import annotations
+
+import collections
+import concurrent.futures as cf
+import os
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from floodgan_tpu.data import tiff
+from floodgan_tpu.data.splits import (
+    FloodSample,
+    MaskSample,
+    determine_flood_dataset,
+    determine_masks_dataset,
+)
+from floodgan_tpu.data.transforms import apply_transformations_batch
+
+
+class _LruBytesCache:
+    """Bytes-bounded LRU cache of decoded arrays (the dataset is small —
+    ~2.3k stacks — so hot subsets fit in RAM and TIFF decode vanishes from
+    the steady-state loop)."""
+
+    def __init__(self, max_bytes: int):
+        self.max_bytes = max_bytes
+        self._store: "collections.OrderedDict[str, np.ndarray]" = collections.OrderedDict()
+        self._bytes = 0
+        self._lock = threading.Lock()
+
+    def get(self, key: str):
+        with self._lock:
+            arr = self._store.get(key)
+            if arr is not None:
+                self._store.move_to_end(key)
+            return arr
+
+    def put(self, key: str, arr: np.ndarray):
+        if arr.nbytes > self.max_bytes:
+            return
+        with self._lock:
+            if key in self._store:
+                return
+            self._store[key] = arr
+            self._bytes += arr.nbytes
+            while self._bytes > self.max_bytes:
+                _, old = self._store.popitem(last=False)
+                self._bytes -= old.nbytes
+
+
+_DEFAULT_CACHE_BYTES = int(os.environ.get("FLOODGAN_DECODE_CACHE_BYTES", 4 << 30))
+
+
+class FloodDataset:
+    """Sample list + raw decode for the flood image pairs
+    (reference models/data.py:46-81)."""
+
+    def __init__(
+        self,
+        dataset_subset: str,
+        dataset_dem: str,
+        split: str,
+        path: str,
+        topography: Optional[str],
+        resize: Optional[int],
+        crop: Optional[int],
+        metadata_dir: Optional[str] = None,
+        cache_bytes: int = _DEFAULT_CACHE_BYTES,
+    ):
+        self.samples: List[FloodSample] = determine_flood_dataset(
+            dataset_subset, dataset_dem, crop, metadata_dir
+        )[split]
+        self.path = path
+        self.topography = topography
+        self.resize = resize
+        self.crop = crop
+        self._cache = _LruBytesCache(cache_bytes)
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def name(self, index: int) -> str:
+        s = self.samples[index]
+        base = s.image_name
+        return f"{base}_{s.crop_index}" if self.crop else base
+
+    def read_raw(self, index: int) -> Tuple[np.ndarray, np.ndarray, bool, int]:
+        """Decoded (input 9ch, output 3ch) float32 HWC + flip flag + crop ix.
+        The flip itself happens on device (transforms)."""
+        s = self.samples[index]
+        inp = self._read(f"{self.path}/dataset_input/{s.file_name}")
+        out = self._read(f"{self.path}/dataset_output/{s.image_name}.tif")
+        return inp, out, s.version == "flipped", s.crop_index
+
+    def _read(self, file_path: str) -> np.ndarray:
+        arr = self._cache.get(file_path)
+        if arr is None:
+            arr = np.asarray(tiff.imread(file_path), dtype=np.float32)
+            self._cache.put(file_path, arr)
+        return arr
+
+
+class MaskDataset:
+    """Sample list + raw decode for segmentation pairs
+    (reference models/data.py:179-201)."""
+
+    def __init__(
+        self,
+        samples: Sequence[MaskSample],
+        path: str,
+        cache_bytes: int = _DEFAULT_CACHE_BYTES,
+    ):
+        self.samples = list(samples)
+        self.path = path
+        self._cache = _LruBytesCache(cache_bytes)
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def name(self, index: int) -> str:
+        return self.samples[index].file_name
+
+    def read_raw(self, index: int) -> Tuple[np.ndarray, np.ndarray, bool, int]:
+        s = self.samples[index]
+        inp = self._read(f"{self.path}/masks_input/{s.file_name}", channels=3)
+        out = self._read(f"{self.path}/masks_output/{s.file_name}", channels=1)
+        return inp, out, s.version == "flipped", 0
+
+    def _read(self, file_path: str, channels: int) -> np.ndarray:
+        arr = self._cache.get(file_path)
+        if arr is None:
+            arr = np.asarray(tiff.imread(file_path), dtype=np.float32)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            arr = arr[:, :, :channels]
+            self._cache.put(file_path, arr)
+        return arr
+
+
+Batch = Dict[str, object]
+
+
+class BatchLoader:
+    """Shuffled, thread-prefetched batch iterator.
+
+    Yields dicts with device arrays already pushed through the jitted
+    transform: {"input", "output", "names"}.  ``epoch`` controls the
+    deterministic shuffle (reference seeds torch's global RNG with the
+    epoch number, models/model.py:609; here the permutation is
+    np.default_rng(seed) over (seed_base + epoch)).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        shuffle: bool = True,
+        transform: bool = True,
+        drop_remainder: bool = False,
+        num_workers: int = 8,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.transform = transform
+        self.drop_remainder = drop_remainder
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def epoch_iter(self, epoch: int = 0) -> Iterator[Batch]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            order = np.random.default_rng(epoch).permutation(n)
+        batches = [
+            order[i : i + self.batch_size] for i in range(0, n, self.batch_size)
+        ]
+        if self.drop_remainder:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending: "collections.deque" = collections.deque()
+            bi = 0
+
+            def submit(idx_batch):
+                return [pool.submit(self.dataset.read_raw, int(i)) for i in idx_batch]
+
+            while bi < len(batches) and len(pending) < self.prefetch:
+                pending.append((batches[bi], submit(batches[bi])))
+                bi += 1
+            while pending:
+                idx_batch, futures = pending.popleft()
+                if bi < len(batches):
+                    pending.append((batches[bi], submit(batches[bi])))
+                    bi += 1
+                raws = [f.result() for f in futures]
+                yield self._assemble(idx_batch, raws)
+
+    def __iter__(self) -> Iterator[Batch]:
+        return self.epoch_iter(0)
+
+    def _assemble(self, idx_batch, raws) -> Batch:
+        inputs = np.stack([r[0] for r in raws])
+        outputs = np.stack([r[1] for r in raws])
+        flips = np.array([r[2] for r in raws], dtype=bool)
+        crops = np.array([r[3] for r in raws], dtype=np.int32)
+        names = [self.dataset.name(int(i)) for i in idx_batch]
+        if self.transform and isinstance(self.dataset, FloodDataset):
+            inp, out = apply_transformations_batch(
+                inputs,
+                outputs,
+                flips,
+                crops,
+                topography=self.dataset.topography,
+                resize=self.dataset.resize,
+                crop=self.dataset.crop,
+            )
+        else:
+            # Mask pairs: flip only; no resize/crop/normalise in the
+            # reference mask path (models/data.py:191-196).
+            inputs = np.where(flips[:, None, None, None], inputs[:, :, ::-1], inputs)
+            outputs = np.where(flips[:, None, None, None], outputs[:, :, ::-1], outputs)
+            inp, out = jax.numpy.asarray(inputs), jax.numpy.asarray(outputs)
+        return {"input": inp, "output": out, "names": names}
+
+
+def create_flood_dataset(
+    dataset_subset: str,
+    dataset_dem: str,
+    path: str,
+    topography: Optional[str],
+    resize: Optional[int] = None,
+    crop: Optional[int] = None,
+    batch_size: int = 1,
+    metadata_dir: Optional[str] = None,
+) -> Tuple[BatchLoader, BatchLoader, BatchLoader]:
+    """Train/validation/test loaders (reference models/data.py:11-44)."""
+    loaders = []
+    for split in ("train", "validation", "test"):
+        ds = FloodDataset(
+            dataset_subset, dataset_dem, split, path, topography, resize, crop,
+            metadata_dir=metadata_dir,
+        )
+        loaders.append(BatchLoader(ds, batch_size=batch_size, shuffle=True))
+    return tuple(loaders)
+
+
+def create_masks_dataset(
+    dataset_subset: str,
+    path: str,
+    train_on_all: bool,
+    batch_size: int = 1,
+    metadata_dir: Optional[str] = None,
+):
+    """Mask loaders; train-only when ``train_on_all``
+    (reference models/data.py:148-177)."""
+    train_s, val_s, test_s = determine_masks_dataset(
+        dataset_subset, train_on_all, metadata_dir
+    )
+    train_loader = BatchLoader(MaskDataset(train_s, path), batch_size=batch_size)
+    if train_on_all:
+        return train_loader, None, None
+    return (
+        train_loader,
+        BatchLoader(MaskDataset(val_s, path), batch_size=batch_size),
+        BatchLoader(MaskDataset(test_s, path), batch_size=batch_size),
+    )

@@ -1,0 +1,235 @@
+"""Data layer tests: TIFF codec, split resolution (golden vs the actual
+reference logic), device transforms, and the prefetching batch loader over
+a synthetic on-disk fixture."""
+
+import importlib.util
+import io
+import pathlib
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as TF
+
+import jax.numpy as jnp
+
+from floodgan_tpu.data import tiff
+from floodgan_tpu.data.pipeline import BatchLoader, FloodDataset, create_flood_dataset, create_masks_dataset
+from floodgan_tpu.data.splits import determine_flood_dataset, determine_masks_dataset
+from floodgan_tpu.data.transforms import apply_transformations_batch, slice_topography
+
+from fixtures import make_flood_fixture, make_masks_fixture
+
+_REF_META = pathlib.Path("/root/reference/metadata/dataset_split.csv")
+
+
+# ---------------------------------------------------------------- TIFF codec
+
+@pytest.mark.parametrize("shape,dtype", [
+    ((16, 16, 9), np.float32),
+    ((16, 16, 3), np.float32),
+    ((16, 16), np.float32),
+    ((16, 16, 3), np.uint8),
+    ((16, 16), np.uint8),
+])
+@pytest.mark.parametrize("compress", [False, True])
+def test_tiff_roundtrip(tmp_path, rng, shape, dtype, compress):
+    if dtype == np.uint8:
+        arr = (rng.random(shape) * 255).astype(np.uint8)
+    else:
+        arr = rng.random(shape, dtype=np.float32)
+    p = str(tmp_path / "x.tif")
+    tiff.imwrite(p, arr, compress=compress)
+    back = tiff.imread(p)
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_tiff_reads_pil_output(tmp_path, rng):
+    """Interop: files written by another encoder decode identically."""
+    PIL = pytest.importorskip("PIL.Image")
+    arr = (rng.random((20, 24, 3)) * 255).astype(np.uint8)
+    p = str(tmp_path / "pil.tif")
+    PIL.fromarray(arr).save(p)
+    np.testing.assert_array_equal(tiff.imread(p), arr)
+
+
+# ------------------------------------------------------------------- splits
+
+def _load_reference_data_module():
+    """Load the reference models/data.py with stub deps (torchvision is not
+    installed here; only the pandas split logic is exercised)."""
+    stub_tv = types.ModuleType("torchvision")
+    stub_tr = types.ModuleType("torchvision.transforms")
+    for name in ("Normalize", "Resize", "InterpolationMode"):
+        setattr(stub_tr, name, object)
+    stub_tv.transforms = stub_tr
+    stub_models = types.ModuleType("models")
+    stub_utils = types.ModuleType("models.utils")
+    stub_utils.apply_transformations = lambda *a, **k: None
+    stub_models.utils = stub_utils
+    stub_tf = types.ModuleType("tifffile")
+    stub_tf.imread = lambda *a, **k: None
+    mods = {
+        "torchvision": stub_tv,
+        "torchvision.transforms": stub_tr,
+        "models": stub_models,
+        "models.utils": stub_utils,
+        "tifffile": stub_tf,
+    }
+    saved = {k: sys.modules.get(k) for k in mods}
+    sys.modules.update(mods)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_data", "/root/reference/models/data.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+@pytest.mark.skipif(not _REF_META.exists(), reason="reference metadata not present")
+@pytest.mark.parametrize("subset,dem,crop", [
+    ("usa", "best", None),
+    ("india", "same", None),
+    ("hurricane-harvey", "same", 4),
+    ("harveyflorence", "best", None),
+    ("harveyonflorence", "same", None),
+    ("testing", "same", None),
+    ("all", "best", 4),
+])
+def test_flood_split_matches_reference(monkeypatch, subset, dem, crop):
+    ref_mod = _load_reference_data_module()
+    monkeypatch.chdir("/root/reference")
+    expected = ref_mod.determine_flood_dataset(subset, dem, crop)
+    got = determine_flood_dataset(subset, dem, crop, metadata_dir="/root/reference/metadata")
+    for split in ("train", "validation", "test"):
+        exp = expected[split]
+        mine = got[split]
+        assert len(exp) == len(mine), split
+        for e, m in zip(exp, mine):
+            assert e[0] == m.file_name
+            assert e[1] == m.version
+            if crop:
+                assert e[2] == m.crop_index
+
+
+@pytest.mark.skipif(not _REF_META.exists(), reason="reference metadata not present")
+@pytest.mark.parametrize("subset,train_on_all", [("usa", False), ("india", False), ("usa", True)])
+def test_masks_split_matches_reference(monkeypatch, subset, train_on_all):
+    ref_mod = _load_reference_data_module()
+    monkeypatch.chdir("/root/reference")
+    expected = ref_mod.determine_masks_dataset(subset, train_on_all)
+    got = determine_masks_dataset(subset, train_on_all, metadata_dir="/root/reference/metadata")
+    if train_on_all:
+        exp_train, got_train = expected[0], got[0]
+        assert got[1] is None and got[2] is None
+        assert [(s.file_name, s.version) for s in got_train] == [tuple(e) for e in exp_train]
+    else:
+        for exp, mine in zip(expected, got):
+            assert [(s.file_name, s.version) for s in mine] == [tuple(e) for e in exp]
+
+
+def test_bad_subset_and_dem_raise():
+    with pytest.raises(NotImplementedError):
+        determine_flood_dataset("atlantis", "best", metadata_dir="/root/reference/metadata")
+    with pytest.raises(NotImplementedError):
+        determine_flood_dataset("usa", "worst", metadata_dir="/root/reference/metadata")
+
+
+# --------------------------------------------------------------- transforms
+
+@pytest.mark.parametrize("topography,channels", [
+    ("all", 9), ("dem", 4), ("flow", 4), ("river", 4), ("map", 6), (None, 3),
+])
+def test_slice_topography_channels(rng, topography, channels):
+    x = jnp.asarray(rng.random((2, 8, 8, 9), dtype=np.float32))
+    out = slice_topography(x, topography)
+    assert out.shape[-1] == channels
+    # channel-order contract: rgb always first 3
+    np.testing.assert_array_equal(np.asarray(out[..., :3]), np.asarray(x[..., :3]))
+    if topography == "flow":
+        np.testing.assert_array_equal(np.asarray(out[..., 3]), np.asarray(x[..., 4]))
+    if topography == "river":
+        np.testing.assert_array_equal(np.asarray(out[..., 3]), np.asarray(x[..., 5]))
+    if topography == "map":
+        np.testing.assert_array_equal(np.asarray(out[..., 3:]), np.asarray(x[..., 6:]))
+
+
+def test_apply_transformations_batch_semantics(rng):
+    """Composed golden check: flip -> slice -> torch-AA resize -> quadrant
+    crop -> [-1,1] normalise, per reference utils.py:19-67 order."""
+    B, H, W = 3, 40, 40
+    resize, crop = 20, 4
+    inp = rng.random((B, H, W, 9), dtype=np.float32)
+    out = rng.random((B, H, W, 3), dtype=np.float32)
+    flip = np.array([False, True, False])
+    crop_ix = np.array([0, 3, 2], dtype=np.int32)
+
+    got_in, got_out = apply_transformations_batch(
+        inp, out, flip, crop_ix, topography="dem", resize=resize, crop=crop
+    )
+    assert got_in.shape == (B, 10, 10, 4)
+    assert got_out.shape == (B, 10, 10, 3)
+
+    for b in range(B):
+        x = inp[b][:, ::-1] if flip[b] else inp[b]
+        y = out[b][:, ::-1] if flip[b] else out[b]
+        x = x[:, :, :4]
+        xt = TF.interpolate(
+            torch.from_numpy(np.ascontiguousarray(x.transpose(2, 0, 1)))[None],
+            size=(resize, resize), mode="bicubic", antialias=True,
+        )[0].numpy().transpose(1, 2, 0)
+        yt = TF.interpolate(
+            torch.from_numpy(np.ascontiguousarray(y.transpose(2, 0, 1)))[None],
+            size=(resize, resize), mode="bicubic", antialias=True,
+        )[0].numpy().transpose(1, 2, 0)
+        r, c = crop_ix[b] // 2, crop_ix[b] % 2
+        xt = xt[r * 10:(r + 1) * 10, c * 10:(c + 1) * 10]
+        yt = yt[r * 10:(r + 1) * 10, c * 10:(c + 1) * 10]
+        np.testing.assert_allclose(np.asarray(got_in[b]), xt * 2 - 1, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_out[b]), yt * 2 - 1, atol=1e-4)
+
+
+# ------------------------------------------------------------------- loader
+
+def test_flood_loader_end_to_end(tmp_path):
+    data_path, meta_dir = make_flood_fixture(tmp_path, size=32)
+    train, val, test = create_flood_dataset(
+        "usa", "same", data_path, topography="all", resize=16, crop=4,
+        batch_size=2, metadata_dir=meta_dir,
+    )
+    seen = 0
+    for batch in train.epoch_iter(epoch=1):
+        assert batch["input"].shape[1:] == (8, 8, 9)
+        assert batch["output"].shape[1:] == (8, 8, 3)
+        assert np.asarray(batch["input"]).min() >= -1.0 - 1e-6
+        assert np.asarray(batch["input"]).max() <= 1.0 + 1e-6
+        assert all(n.count("_") >= 2 for n in batch["names"])  # crop suffix
+        seen += batch["input"].shape[0]
+    assert seen == len(train.dataset)
+
+    # deterministic epoch order
+    names1 = [n for b in train.epoch_iter(epoch=3) for n in b["names"]]
+    names2 = [n for b in train.epoch_iter(epoch=3) for n in b["names"]]
+    names3 = [n for b in train.epoch_iter(epoch=4) for n in b["names"]]
+    assert names1 == names2
+    assert names1 != names3
+
+
+def test_masks_loader_end_to_end(tmp_path):
+    data_path, meta_dir = make_masks_fixture(tmp_path, size=32)
+    train, val, test = create_masks_dataset("usa", data_path, False, metadata_dir=meta_dir)
+    batch = next(iter(train))
+    assert batch["input"].shape[1:] == (32, 32, 3)
+    assert batch["output"].shape[1:] == (32, 32, 1)
+    tr_all, v, t = create_masks_dataset("usa", data_path, True, metadata_dir=meta_dir)
+    assert v is None and t is None
+    assert len(tr_all.dataset) == 6
