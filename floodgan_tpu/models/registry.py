@@ -38,9 +38,12 @@ _DISC_CONDITIONAL = {
 }
 
 
-def build_generator(model: str, input_channels: int) -> nn.Module:
+def build_generator(model: str, input_channels: int, dropout_rate: float = 0.5) -> nn.Module:
     model = _check_model(model)
-    return _GENERATORS[model](input_channels=input_channels)
+    cls = _GENERATORS[model]
+    if cls is Pix2PixGenerator:
+        return cls(input_channels=input_channels, dropout_rate=dropout_rate)
+    return cls(input_channels=input_channels)
 
 
 def build_discriminator(model: str) -> nn.Module:

@@ -1,0 +1,148 @@
+"""Paired (pix2pix-style) adversarial training as one jitted step.
+
+Faithful restructuring of the reference batch loop (reference
+models/model.py:598-658) into a single fused XLA program:
+
+  1. one generator forward (captured with jax.vjp so its backward is
+     reused — the reference reuses the same autograd graph),
+  2. discriminator update on (stop-gradient synthetic, real), LSGAN MSE
+     targets 0/1, summed and halved (ref :624-633),
+  3. generator update against the *updated* discriminator (the reference
+     steps D before G's backward, ref :633 vs :640), loss =
+     LSGAN(D(x ⊕ G(x)), 1) + 100·L1(G(x), y) (ref :640-646),
+     with the generator gradient pulled back through the saved vjp.
+
+The reference's requires_grad freeze/unfreeze flags (:620-621, :636-637)
+are subsumed by taking gradients only w.r.t. the relevant parameter tree.
+Loss scalars are returned with the reference's key names (:648-651).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from floodgan_tpu.core.config import TrainConfig
+from floodgan_tpu.models.registry import (
+    build_discriminator,
+    build_generator,
+    generator_returns_mask,
+)
+from floodgan_tpu.train.losses import l1_loss, lsgan_mse
+from floodgan_tpu.train.optim import adam_tx, apply_adam
+
+
+class PairedState(flax.struct.PyTreeNode):
+    gen_params: dict
+    disc_params: dict
+    gen_opt: tuple
+    disc_opt: tuple
+
+
+class PairedTrainer:
+    """Builds and jit-compiles the paired train/infer steps for one model
+    family (pix2pix or pairedattention)."""
+
+    def __init__(
+        self,
+        model: str,
+        input_channels: int,
+        cfg: TrainConfig = TrainConfig(),
+        dropout_rate: float = 0.5,
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.generator = build_generator(model, input_channels, dropout_rate)
+        self.discriminator = build_discriminator(model)
+        self.returns_mask = generator_returns_mask(model)
+        self.tx = adam_tx(b1=cfg.adam_b1, b2=cfg.adam_b2)
+        self.input_channels = input_channels
+
+    # -- generator forward normalised to a single output image ------------
+    def gen_apply(self, params, x, rng):
+        out = self.generator.apply(
+            {"params": params}, x, rngs={"dropout": rng}
+        )
+        return out[0] if self.returns_mask else out
+
+    def init(self, rng, sample_input, sample_output) -> PairedState:
+        kg, kd, kdrop = jax.random.split(rng, 3)
+        gen_params = self.generator.init(
+            {"params": kg, "dropout": kdrop}, sample_input
+        )["params"]
+        disc_in = jnp.concatenate([sample_input, sample_output], axis=-1)
+        disc_params = self.discriminator.init({"params": kd}, disc_in)["params"]
+        return PairedState(
+            gen_params=gen_params,
+            disc_params=disc_params,
+            gen_opt=self.tx.init(gen_params),
+            disc_opt=self.tx.init(disc_params),
+        )
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(
+        self, state: PairedState, input_stack, output_image, lr, rng
+    ) -> Tuple[PairedState, Dict[str, jax.Array]]:
+        cfg = self.cfg
+
+        synthetic, gen_vjp = jax.vjp(
+            lambda gp: self.gen_apply(gp, input_stack, rng), state.gen_params
+        )
+        concat_real = jnp.concatenate([input_stack, output_image], axis=-1)
+        concat_syn = jnp.concatenate(
+            [input_stack, jax.lax.stop_gradient(synthetic)], axis=-1
+        )
+
+        # ---- discriminator update (reference model.py:620-633) ----
+        def d_loss_fn(dp):
+            pred_syn = self.discriminator.apply({"params": dp}, concat_syn)
+            loss_syn = lsgan_mse(pred_syn, 0.0)
+            pred_real = self.discriminator.apply({"params": dp}, concat_real)
+            loss_real = lsgan_mse(pred_real, 1.0)
+            return (loss_syn + loss_real) * cfg.disc_weight, (loss_syn, loss_real)
+
+        d_grads, (loss_d_syn, loss_d_real) = jax.grad(d_loss_fn, has_aux=True)(
+            state.disc_params
+        )
+        disc_params, disc_opt = apply_adam(
+            self.tx, state.disc_params, state.disc_opt, d_grads, lr
+        )
+
+        # ---- generator update against the updated D (ref :636-646) ----
+        def g_loss_from_syn(syn):
+            pred = self.discriminator.apply(
+                {"params": disc_params}, jnp.concatenate([input_stack, syn], axis=-1)
+            )
+            loss_adv = lsgan_mse(pred, 1.0)
+            loss_l1 = l1_loss(syn, output_image) * cfg.l1_weight
+            return loss_adv + loss_l1, (loss_adv, loss_l1)
+
+        (_, (loss_g_adv, loss_g_l1)), syn_grad = jax.value_and_grad(
+            g_loss_from_syn, has_aux=True
+        )(synthetic)
+        (g_grads,) = gen_vjp(syn_grad)
+        gen_params, gen_opt = apply_adam(
+            self.tx, state.gen_params, state.gen_opt, g_grads, lr
+        )
+
+        new_state = PairedState(gen_params, disc_params, gen_opt, disc_opt)
+        metrics = {
+            "losses_discriminator_real": loss_d_real,
+            "losses_discriminator_synthetic": loss_d_syn,
+            "losses_generator_synthetic": loss_g_adv,
+            "l1_losses_generator_synthetic": loss_g_l1,
+        }
+        return new_state, metrics
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def generate(self, gen_params, input_stack, rng):
+        """Inference forward; callers pass the fixed stochastic-eval key
+        (reference pins torch.manual_seed(47) before eval-time calls)."""
+        out = self.generator.apply(
+            {"params": gen_params}, input_stack, rngs={"dropout": rng}
+        )
+        return out if self.returns_mask else (out, None)

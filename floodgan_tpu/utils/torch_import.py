@@ -124,11 +124,13 @@ GENERATOR_SPECS = {
 
 
 def _convert(kind: str, array: np.ndarray) -> np.ndarray:
+    # Copy: torch tensors' .numpy() shares memory with the live module, and
+    # in-place optimizer steps on the torch side must not alias our params.
     if kind == CONV:
-        return np.transpose(array, (2, 3, 1, 0))
+        return np.ascontiguousarray(np.transpose(array, (2, 3, 1, 0)))
     if kind == CONVT:
-        return np.transpose(array, (2, 3, 0, 1))
-    return array
+        return np.ascontiguousarray(np.transpose(array, (2, 3, 0, 1)))
+    return np.array(array, copy=True)
 
 
 def params_from_torch(

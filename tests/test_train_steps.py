@@ -1,0 +1,266 @@
+"""Golden-step tests: jitted train steps vs the reference training recipe
+executed in torch (same weights via torch_import, dropout disabled, buffers
+in their deterministic fill phase).  Verifies loss values on step 1 AND
+step 2 — step 2 only matches if step 1's parameter updates matched."""
+
+import importlib.util
+import itertools
+import pathlib
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from floodgan_tpu.core.config import TrainConfig
+from floodgan_tpu.train import CycleTrainer, PairedTrainer, SegTrainer, apply_adam, adam_tx
+from floodgan_tpu.train.cycle import ImageBuffer
+from floodgan_tpu.train.losses import bce_with_logits
+from floodgan_tpu.utils import torch_import as ti
+
+_REF = pathlib.Path("/root/reference/models/model_architectures.py")
+pytestmark = pytest.mark.skipif(not _REF.exists(), reason="reference checkout not present")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    spec = importlib.util.spec_from_file_location("ref_arch2", _REF)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _nhwc(x_nchw):
+    return jnp.asarray(x_nchw.transpose(0, 2, 3, 1))
+
+
+def _disable_dropout(m):
+    for sub in m.modules():
+        if isinstance(sub, torch.nn.Dropout):
+            sub.eval()
+    return m
+
+
+def test_adam_matches_torch(rng):
+    w = rng.standard_normal((5, 7), dtype=np.float32)
+    tw = torch.nn.Parameter(torch.from_numpy(w.copy()))
+    opt = torch.optim.Adam([tw], lr=2e-4, betas=(0.5, 0.999))
+    params = {"w": jnp.asarray(w)}
+    tx = adam_tx()
+    opt_state = tx.init(params)
+    for step in range(5):
+        g = rng.standard_normal((5, 7), dtype=np.float32) * (step + 1)
+        opt.zero_grad()
+        tw.grad = torch.from_numpy(g.copy())
+        opt.step()
+        params, opt_state = apply_adam(tx, params, opt_state, {"w": jnp.asarray(g)}, 2e-4)
+        np.testing.assert_allclose(
+            np.asarray(params["w"]), tw.detach().numpy(), atol=1e-6
+        )
+
+
+def test_bce_with_logits_matches_torch(rng):
+    logits = rng.standard_normal((2, 8, 8, 1), dtype=np.float32) * 3
+    targets = (rng.random((2, 8, 8, 1)) > 0.5).astype(np.float32)
+    ref_loss = torch.nn.BCEWithLogitsLoss()(
+        torch.from_numpy(logits), torch.from_numpy(targets)
+    ).item()
+    mine = float(bce_with_logits(jnp.asarray(logits), jnp.asarray(targets)))
+    assert abs(ref_loss - mine) < 1e-6
+
+
+def test_paired_step_matches_reference_recipe(ref, rng):
+    """Two paired (pix2pix) steps vs the reference recipe in torch
+    (reference models/model.py:598-658)."""
+    C = 9
+    torch.manual_seed(47)
+    tg = _disable_dropout(ref.Pix2PixGenerator(input_channels=C).train())
+    td = ref.Pix2PixDiscriminator(input_channels=C).train()
+    opt_d = torch.optim.Adam(td.parameters(), lr=2e-4, betas=(0.5, 0.999))
+    opt_g = torch.optim.Adam(tg.parameters(), lr=2e-4, betas=(0.5, 0.999))
+
+    trainer = PairedTrainer("pix2pix", C, dropout_rate=0.0)
+    gen_params = ti.params_from_torch(ti.pix2pix_generator_spec(), list(tg.named_parameters()))
+    disc_params = ti.params_from_torch(ti.patchgan_spec("batch"), list(td.named_parameters()))
+    from floodgan_tpu.train.paired import PairedState
+    state = PairedState(
+        gen_params=gen_params, disc_params=disc_params,
+        gen_opt=trainer.tx.init(gen_params), disc_opt=trainer.tx.init(disc_params),
+    )
+
+    for step in range(2):
+        x = rng.standard_normal((1, C, 256, 256), dtype=np.float32) * 0.5
+        y = rng.standard_normal((1, 3, 256, 256), dtype=np.float32) * 0.5
+        tx_, ty = torch.from_numpy(x), torch.from_numpy(y)
+
+        # --- torch: the reference paired step ---
+        synthetic = tg(tx_)
+        concat_real = torch.cat((tx_, ty), 1)
+        concat_syn = torch.cat((tx_, synthetic), 1)
+        opt_d.zero_grad()
+        pred_syn = td(concat_syn.detach())
+        loss_d_syn = torch.nn.functional.mse_loss(pred_syn, torch.zeros_like(pred_syn))
+        pred_real = td(concat_real)
+        loss_d_real = torch.nn.functional.mse_loss(pred_real, torch.ones_like(pred_real))
+        ((loss_d_syn + loss_d_real) * 0.5).backward()
+        opt_d.step()
+        for p in td.parameters():
+            p.requires_grad = False
+        opt_g.zero_grad()
+        pred = td(concat_syn)
+        loss_g_adv = torch.nn.functional.mse_loss(pred, torch.ones_like(pred))
+        loss_g_l1 = torch.nn.functional.l1_loss(synthetic, ty) * 100
+        (loss_g_adv + loss_g_l1).backward()
+        opt_g.step()
+        for p in td.parameters():
+            p.requires_grad = True
+
+        # --- ours ---
+        state, metrics = trainer.train_step(
+            state, _nhwc(x), _nhwc(y), jnp.float32(2e-4), jax.random.key(0)
+        )
+        np.testing.assert_allclose(float(metrics["losses_discriminator_synthetic"]), loss_d_syn.item(), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(float(metrics["losses_discriminator_real"]), loss_d_real.item(), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(float(metrics["losses_generator_synthetic"]), loss_g_adv.item(), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(float(metrics["l1_losses_generator_synthetic"]), loss_g_l1.item(), rtol=2e-3, atol=2e-4)
+
+
+def test_cycle_step_matches_reference_recipe(ref, rng):
+    """Two cycle (cyclegan, topography=all, identity on) steps vs the
+    reference recipe in torch (reference models/model.py:660-758).  The
+    replay buffers are in their deterministic fill phase for the first 50
+    steps, so no RNG coupling is needed."""
+    C = 9
+    torch.manual_seed(47)
+    g_ab = ref.CycleGANGenerator(input_channels=C).train()
+    g_ba = ref.CycleGANGenerator(input_channels=C).train()
+    d_pre = ref.CycleGANDiscriminator(input_channels=C).train()
+    d_post = ref.CycleGANDiscriminator(input_channels=C).train()
+    opt_g = torch.optim.Adam(itertools.chain(g_ab.parameters(), g_ba.parameters()), lr=2e-4, betas=(0.5, 0.999))
+    opt_d = torch.optim.Adam(itertools.chain(d_post.parameters(), d_pre.parameters()), lr=2e-4, betas=(0.5, 0.999))
+
+    trainer = CycleTrainer("cyclegan", C, add_identity_loss=True)
+    gen_params = {
+        "ab": ti.params_from_torch(ti.cyclegan_generator_spec(), list(g_ab.named_parameters())),
+        "ba": ti.params_from_torch(ti.cyclegan_generator_spec(), list(g_ba.named_parameters())),
+    }
+    disc_params = {
+        "pre": ti.params_from_torch(ti.patchgan_spec("instance"), list(d_pre.named_parameters())),
+        "post": ti.params_from_torch(ti.patchgan_spec("instance"), list(d_post.named_parameters())),
+    }
+    from floodgan_tpu.train.cycle import CycleState
+    state = CycleState(
+        gen_params=gen_params, disc_params=disc_params,
+        gen_opt=trainer.tx.init(gen_params), disc_opt=trainer.tx.init(disc_params),
+        pre_buffer=ImageBuffer.create(50, 64, 64, C),
+        post_buffer=ImageBuffer.create(50, 64, 64, C),
+    )
+    mse, l1 = torch.nn.functional.mse_loss, torch.nn.functional.l1_loss
+
+    for step in range(2):
+        x = rng.standard_normal((1, C, 64, 64), dtype=np.float32) * 0.5
+        y = rng.standard_normal((1, 3, 64, 64), dtype=np.float32) * 0.5
+        real_pre, out_img = torch.from_numpy(x), torch.from_numpy(y)
+        conditions = real_pre[:, 3:, :, :].detach().clone()
+        real_post = torch.cat((out_img, conditions), dim=1)
+
+        synthetic_post = g_ab(real_pre)
+        synthetic_pre = g_ba(real_post)
+        synthetic_post_c = torch.cat((synthetic_post, conditions), dim=1)
+        synthetic_pre_c = torch.cat((synthetic_pre, conditions), dim=1)
+        recreated_post = g_ab(synthetic_pre_c)
+        recreated_pre = g_ba(synthetic_post_c)
+
+        for d in (d_pre, d_post):
+            for p in d.parameters():
+                p.requires_grad = False
+        opt_g.zero_grad()
+        identity_post = l1(g_ab(real_post), real_post[:, :3]) * 5
+        identity_pre = l1(g_ba(real_pre), real_pre[:, :3]) * 5
+        pd_post = d_post(synthetic_post_c)
+        post_gen_loss = mse(pd_post, torch.ones_like(pd_post))
+        pd_pre = d_pre(synthetic_pre_c)
+        pre_gen_loss = mse(pd_pre, torch.ones_like(pd_pre))
+        pre_to_post_cycle = l1(recreated_pre, real_pre[:, :3]) * 10
+        post_to_pre_cycle = l1(recreated_post, real_post[:, :3]) * 10
+        (post_gen_loss + pre_gen_loss + pre_to_post_cycle + post_to_pre_cycle + identity_post + identity_pre).backward()
+        opt_g.step()
+        for d in (d_pre, d_post):
+            for p in d.parameters():
+                p.requires_grad = True
+        opt_d.zero_grad()
+        # buffer fill phase: returns the new image unchanged
+        pr = d_pre(real_pre); lr_pre = mse(pr, torch.ones_like(pr))
+        ps = d_pre(synthetic_pre_c.detach()); ls_pre = mse(ps, torch.zeros_like(ps))
+        ((lr_pre + ls_pre) * 0.5).backward()
+        pr2 = d_post(real_post); lr_post = mse(pr2, torch.ones_like(pr2))
+        ps2 = d_post(synthetic_post_c.detach()); ls_post = mse(ps2, torch.zeros_like(ps2))
+        ((lr_post + ls_post) * 0.5).backward()
+        opt_d.step()
+
+        state, m = trainer.train_step(
+            state, _nhwc(x), _nhwc(y), jnp.float32(2e-4), jax.random.key(step)
+        )
+        pairs = [
+            ("losses_generator_post", post_gen_loss),
+            ("losses_generator_pre", pre_gen_loss),
+            ("losses_pre_to_post_cycle", pre_to_post_cycle),
+            ("losses_post_to_pre_cycle", post_to_pre_cycle),
+            ("losses_identity_post", identity_post),
+            ("losses_identity_pre", identity_pre),
+            ("losses_discriminator_pre_real", lr_pre),
+            ("losses_discriminator_post_real", lr_post),
+            ("losses_discriminator_pre_synthetic", ls_pre),
+            ("losses_discriminator_post_synthetic", ls_post),
+        ]
+        for key, tval in pairs:
+            np.testing.assert_allclose(
+                float(m[key]), tval.item(), rtol=5e-4, atol=5e-5, err_msg=f"{key} step {step}"
+            )
+    assert int(state.pre_buffer.count) == 2
+
+
+def test_seg_step_matches_reference_recipe(ref, rng):
+    torch.manual_seed(47)
+    tm = ref.UNet().train()
+    opt = torch.optim.Adam(tm.parameters(), lr=1e-4, betas=(0.5, 0.999))
+    trainer = SegTrainer()
+    params = ti.params_from_torch(ti.unet_spec(), list(tm.named_parameters()))
+    from floodgan_tpu.train.seg import SegState
+    state = SegState(params=params, opt=trainer.tx.init(params))
+
+    for step in range(2):
+        x = rng.random((1, 3, 64, 64), dtype=np.float32)
+        mask = (rng.random((1, 1, 64, 64)) > 0.6).astype(np.float32)
+        tx_, tm_ = torch.from_numpy(x), torch.from_numpy(mask)
+        pred = tm(tx_)
+        loss = torch.nn.BCEWithLogitsLoss()(pred, tm_)
+        opt.zero_grad(); loss.backward(); opt.step()
+        accuracy = ((torch.sigmoid(pred) > 0.5) == (tm_ > 0.5)).sum().item() / pred.numel()
+
+        state, metrics = trainer.train_step(state, _nhwc(x), _nhwc(mask), jnp.float32(1e-4))
+        # step 2 accumulates Adam sign-flips on near-zero grads (inherent
+        # cross-framework f32 noise) — hence the looser rtol.
+        np.testing.assert_allclose(float(metrics["loss"]), loss.item(), rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(float(metrics["accuracy"]), accuracy, atol=2e-3)
+
+
+def test_image_buffer_policy():
+    """Fill phase returns the new image and stores it; steady state swaps
+    ~50% of the time with a uniformly random slot."""
+    buf = ImageBuffer.create(4, 2, 2, 1)
+    for i in range(4):
+        img = jnp.full((2, 2, 1), float(i))
+        buf, out = buf.query(img, jax.random.key(i))
+        assert float(out[0, 0, 0]) == float(i)
+    assert int(buf.count) == 4
+    returned_old = 0
+    n = 200
+    for i in range(n):
+        img = jnp.full((2, 2, 1), 100.0 + i)
+        buf, out = buf.query(img, jax.random.key(1000 + i))
+        if float(out[0, 0, 0]) != 100.0 + i:
+            returned_old += 1
+    assert 0.3 < returned_old / n < 0.7
