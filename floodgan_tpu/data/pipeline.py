@@ -22,7 +22,7 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 import jax
 import numpy as np
 
-from floodgan_tpu.data import tiff
+from floodgan_tpu.data import native, tiff
 from floodgan_tpu.data.splits import (
     FloodSample,
     MaskSample,
@@ -90,6 +90,7 @@ class FloodDataset:
         self.resize = resize
         self.crop = crop
         self._cache = _LruBytesCache(cache_bytes)
+        self._raw_shape = None
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -99,12 +100,30 @@ class FloodDataset:
         base = s.image_name
         return f"{base}_{s.crop_index}" if self.crop else base
 
+    def input_path(self, index: int) -> str:
+        return f"{self.path}/dataset_input/{self.samples[index].file_name}"
+
+    def output_path(self, index: int) -> str:
+        return f"{self.path}/dataset_output/{self.samples[index].image_name}.tif"
+
+    def flags(self, index: int) -> Tuple[bool, int]:
+        s = self.samples[index]
+        return s.version == "flipped", s.crop_index
+
+    def raw_shape(self) -> Tuple[int, int]:
+        """(H, W) of the on-disk stacks (the dataset contract is uniform
+        tile sizes; xBD tiles are 1024x1024)."""
+        if self._raw_shape is None:
+            arr = self._read(self.input_path(0))
+            self._raw_shape = arr.shape[:2]
+        return self._raw_shape
+
     def read_raw(self, index: int) -> Tuple[np.ndarray, np.ndarray, bool, int]:
         """Decoded (input 9ch, output 3ch) float32 HWC + flip flag + crop ix.
         The flip itself happens on device (transforms)."""
         s = self.samples[index]
-        inp = self._read(f"{self.path}/dataset_input/{s.file_name}")
-        out = self._read(f"{self.path}/dataset_output/{s.image_name}.tif")
+        inp = self._read(self.input_path(index))
+        out = self._read(self.output_path(index))
         return inp, out, s.version == "flipped", s.crop_index
 
     def _read(self, file_path: str) -> np.ndarray:
@@ -205,21 +224,40 @@ class BatchLoader:
             bi = 0
 
             def submit(idx_batch):
-                return [pool.submit(self.dataset.read_raw, int(i)) for i in idx_batch]
+                return pool.submit(self._load_raw_batch, idx_batch)
 
             while bi < len(batches) and len(pending) < self.prefetch:
                 pending.append((batches[bi], submit(batches[bi])))
                 bi += 1
             while pending:
-                idx_batch, futures = pending.popleft()
+                idx_batch, future = pending.popleft()
                 if bi < len(batches):
                     pending.append((batches[bi], submit(batches[bi])))
                     bi += 1
-                raws = [f.result() for f in futures]
-                yield self._assemble(idx_batch, raws)
+                yield self._assemble(idx_batch, future.result())
 
     def __iter__(self) -> Iterator[Batch]:
         return self.epoch_iter(0)
+
+    def _load_raw_batch(self, idx_batch):
+        """Whole-batch decode: C++ thread-pool decoder when available
+        (native/tiff_decoder.cpp), per-item python codec otherwise."""
+        ds = self.dataset
+        if (
+            native.available()
+            and isinstance(ds, FloodDataset)
+            and len(idx_batch) > 0
+        ):
+            h, w = ds.raw_shape()
+            inputs = native.decode_batch([ds.input_path(int(i)) for i in idx_batch], h, w, 9)
+            outputs = native.decode_batch([ds.output_path(int(i)) for i in idx_batch], h, w, 3)
+            if inputs is not None and outputs is not None:
+                flags = [ds.flags(int(i)) for i in idx_batch]
+                return [
+                    (inputs[k], outputs[k], flags[k][0], flags[k][1])
+                    for k in range(len(idx_batch))
+                ]
+        return [ds.read_raw(int(i)) for i in idx_batch]
 
     def _assemble(self, idx_batch, raws) -> Batch:
         inputs = np.stack([r[0] for r in raws])

@@ -1,0 +1,114 @@
+"""LPIPS (AlexNet variant) in JAX, matching torchmetrics'
+``LearnedPerceptualImagePatchSimilarity`` (reference models/model.py:370).
+
+The metric needs pretrained AlexNet features and learned linear heads,
+which cannot be downloaded in an offline environment, so weights load from
+an ``.npz`` produced by ``floodgan_tpu/utils/export_lpips.py`` on any
+machine with the ``lpips`` package (or torchmetrics) installed.  Set
+``FLOODGAN_LPIPS_WEIGHTS`` or pass ``weights_path``.  When absent, the
+evaluators report NaN for the LPIPS column (schema preserved) and warn.
+
+Computation (lpips.LPIPS(net='alex'), the torchmetrics default):
+  scale inputs by the fixed shift/scale stats; run AlexNet conv features;
+  tap after each of the 5 relus; unit-normalize channels; squared diff;
+  1x1 non-negative linear head per tap; spatial mean; sum over taps.
+
+The reference feeds [0,1]-clamped images with torchmetrics'
+``normalize=False`` (which *expects* [-1,1]) — an off-spec but consistent
+usage we reproduce verbatim for parity (model.py:397-405).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import warnings
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from floodgan_tpu import ops
+
+_SHIFT = np.array([-0.030, -0.088, -0.188], dtype=np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], dtype=np.float32)
+
+# AlexNet feature config: (out_ch, kernel, stride, pad, maxpool_before)
+_ALEX = [
+    (64, 11, 4, 2, False),
+    (192, 5, 1, 2, True),
+    (384, 3, 1, 1, True),
+    (256, 3, 1, 1, False),
+    (256, 3, 1, 1, False),
+]
+
+
+def _max_pool_3_2(x: jax.Array) -> jax.Array:
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+class LPIPS:
+    """Callable LPIPS metric; weights are a dict of numpy arrays:
+    conv{i}_w (HWIO), conv{i}_b, lin{i}_w (1,1,C,1) for i in 0..4."""
+
+    def __init__(self, weights: Dict[str, np.ndarray]):
+        self.weights = {k: jnp.asarray(v) for k, v in weights.items()}
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def __call__(self, pred: jax.Array, target: jax.Array) -> jax.Array:
+        """Per-image LPIPS distance, NHWC inputs in [-1, 1] nominally."""
+
+        def feats(x):
+            x = (x - _SHIFT) / _SCALE
+            taps = []
+            for i, (_, _, stride, pad, pool_before) in enumerate(_ALEX):
+                if pool_before:
+                    x = _max_pool_3_2(x)
+                x = ops.conv2d(
+                    x,
+                    self.weights[f"conv{i}_w"],
+                    self.weights[f"conv{i}_b"],
+                    stride=stride,
+                    padding=pad,
+                )
+                x = jnp.maximum(x, 0.0)
+                taps.append(x)
+            return taps
+
+        total = None
+        for i, (fp, ft) in enumerate(zip(feats(pred), feats(target))):
+            fp = fp * jax.lax.rsqrt(jnp.sum(fp * fp, axis=-1, keepdims=True) + 1e-10)
+            ft = ft * jax.lax.rsqrt(jnp.sum(ft * ft, axis=-1, keepdims=True) + 1e-10)
+            d = jnp.square(fp - ft)
+            lin = jnp.maximum(self.weights[f"lin{i}_w"], 0.0)
+            v = jnp.mean(
+                jax.lax.conv_general_dilated(
+                    d, lin, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+                ),
+                axis=(1, 2, 3),
+            )
+            total = v if total is None else total + v
+        return total
+
+
+_warned = False
+
+
+def load_lpips(weights_path: Optional[str] = None) -> Optional[LPIPS]:
+    """Load LPIPS weights from ``weights_path`` or $FLOODGAN_LPIPS_WEIGHTS.
+    Returns None (with a one-time warning) when unavailable."""
+    global _warned
+    path = weights_path or os.environ.get("FLOODGAN_LPIPS_WEIGHTS")
+    if path and os.path.isfile(path):
+        return LPIPS(dict(np.load(path)))
+    if not _warned:
+        warnings.warn(
+            "LPIPS weights not found (set FLOODGAN_LPIPS_WEIGHTS to an npz "
+            "exported via floodgan_tpu/utils/export_lpips.py); LPIPS column "
+            "will be NaN."
+        )
+        _warned = True
+    return None

@@ -197,4 +197,6 @@ def _confusion_counts(pred_mask: jax.Array, true_mask: jax.Array) -> jax.Array:
     fp = jnp.sum(p & ~t)
     fn = jnp.sum(~p & t)
     tn = jnp.sum(~p & ~t)
-    return jnp.stack([tp, fp, fn, tn]).astype(jnp.int64)
+    # int32 per update (accumulation to int64 happens host-side in numpy;
+    # a single batch never reaches 2**31 pixels).
+    return jnp.stack([tp, fp, fn, tn]).astype(jnp.int32)

@@ -1,0 +1,177 @@
+"""End-to-end tests of the public API + CLI over the synthetic fixture:
+train -> checkpoint -> resume -> evaluate -> compare, mirroring the
+reference's testing-subset smoke-run strategy (SURVEY.md §4)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from fixtures import make_flood_fixture, make_masks_fixture
+
+
+@pytest.fixture(scope="module")
+def flood_fixture(tmp_path_factory):
+    root = tmp_path_factory.mktemp("flood")
+    return make_flood_fixture(root, size=32, n_per_disaster=3)
+
+
+@pytest.fixture(scope="module")
+def masks_fixture(tmp_path_factory):
+    root = tmp_path_factory.mktemp("masks")
+    return make_masks_fixture(root, size=32)
+
+
+def test_paired_train_checkpoint_resume(flood_fixture):
+    from floodgan_tpu.api import Model
+
+    data_path, meta_dir = flood_fixture
+    model = Model(
+        model="PairedAttention", dataset_subset="usa", dataset_dem="same",
+        data_path=data_path, num_epochs=2, topography="all", resize=None,
+        crop=None, save_model_interval=2, verbose=True, metadata_dir=meta_dir,
+    )
+    model.train_paired()
+    assert len(model.all_losses["all_losses_discriminator_real"]) == 2
+    ckpts = glob.glob(f"{data_path}/models/PairedAttention_*epoch2*.ckpt")
+    assert len(ckpts) == 1
+
+    resumed = Model(
+        dataset_subset="usa", dataset_dem="same", data_path=data_path,
+        load_pretrained_model=True, pretrained_model_path=ckpts[0],
+        training_model=True, verbose=True, metadata_dir=meta_dir, resize=None,
+    )
+    # self-describing checkpoint reconstructs config
+    assert resumed.model == "pairedattention"
+    assert resumed.topography == "all"
+    assert resumed.starting_epoch == 3
+    assert resumed.num_epochs == 2
+    assert len(resumed.all_losses["all_losses_discriminator_real"]) == 2
+    # restored params match saved ones
+    a = jax.tree_util.tree_leaves(model.state.gen_params)
+    b = jax.tree_util.tree_leaves(resumed.state.gen_params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_cycle_train_with_identity(flood_fixture):
+    from floodgan_tpu.api import Model
+
+    data_path, meta_dir = flood_fixture
+    model = Model(
+        model="AttentionGAN", dataset_subset="hurricane-harvey", dataset_dem="same",
+        data_path=data_path, num_epochs=1, topography="dem", resize=None,
+        add_identity_loss=True, verbose=True, metadata_dir=meta_dir,
+    )
+    model.train_cycle()
+    assert len(model.all_losses["all_losses_identity_pre"]) == 1
+    assert len(model.all_losses["all_losses_pre_to_post_cycle"]) == 1
+
+
+def test_seg_train_eval_and_cli(masks_fixture, capsys):
+    from floodgan_tpu.api import SegmentationModel
+
+    data_path, meta_dir = masks_fixture
+    seg = SegmentationModel(
+        dataset_subset="usa", data_path=data_path, num_epochs=1,
+        save_model_interval=1, verbose=True, train=True, metadata_dir=meta_dir,
+    )
+    seg.train_model()
+    assert len(seg.all_losses) == 1
+    ckpts = glob.glob(f"{data_path}/models/SegmentationModel_*.ckpt")
+    assert ckpts
+
+    ev = SegmentationModel(
+        dataset_subset="usa", data_path=data_path,
+        pretrained_model_path=ckpts[0], train=False, metadata_dir=meta_dir,
+    )
+    results = ev.calculate_metrics(use_test_data=False)
+    assert 0.0 <= results["Accuracy"] <= 1.0
+    metric_files = glob.glob(f"{data_path}/metrics/SegmentationModel_*.csv")
+    assert metric_files
+
+
+def test_evaluate_flow(flood_fixture, masks_fixture):
+    from floodgan_tpu.api import Model, SegmentationModel
+
+    data_path, meta_dir = flood_fixture
+    mask_path, mask_meta = masks_fixture
+
+    train_model = Model(
+        model="Pix2Pix", dataset_subset="usa", dataset_dem="same",
+        data_path=data_path, num_epochs=1, topography=None, resize=256,
+        crop=4, save_model_interval=1, metadata_dir=meta_dir,
+    )
+    train_model.train_paired()
+    gan_ckpt = glob.glob(f"{data_path}/models/Pix2Pix_*.ckpt")[0]
+
+    seg = SegmentationModel(
+        dataset_subset="usa", data_path=mask_path, num_epochs=1,
+        save_model_interval=1, train=True, metadata_dir=mask_meta, verbose=False,
+    )
+    seg.train_model()
+    seg_ckpt = glob.glob(f"{mask_path}/models/SegmentationModel_*.ckpt")[0]
+
+    ev = Model(
+        dataset_subset="usa", dataset_dem="same", data_path=data_path,
+        load_pretrained_model=True, pretrained_model_path=gan_ckpt,
+        training_model=False, resize=256, crop=4, metadata_dir=meta_dir,
+        verbose=True,
+    )
+    assert ev.model == "pix2pix"
+    ev.plot_losses()
+    results = ev.calculate_metrics(use_test_data=False, seg_model_path=seg_ckpt)
+    assert np.isfinite(results["PSNR"])
+    assert np.isfinite(results["SSIM"])
+    assert 0.0 <= results["Accuracy"] <= 1.0
+    assert "IoU_Flood" in results
+    assert glob.glob(f"{data_path}/metrics/Pix2Pix_*.csv")
+
+    img = ev.train_loader.dataset.samples[0].image_name
+    ev.plot_image(image_name=img, plot_single_image="output", plot_image_set=True, crop_index=1)
+    assert glob.glob(f"{data_path}/images/Pix2Pix_{img}_1_*.png")
+
+
+def test_compare_two_models(flood_fixture, masks_fixture):
+    from floodgan_tpu.api import Model, ModelsGroup
+
+    data_path, meta_dir = flood_fixture
+    mask_path, _ = masks_fixture
+
+    ckpts = []
+    for name in ("PairedAttention", "AttentionGAN"):
+        m = Model(
+            model=name, dataset_subset="usa", dataset_dem="same",
+            data_path=data_path, num_epochs=1, topography="all", resize=None,
+            save_model_interval=1, metadata_dir=meta_dir,
+        )
+        (m.train_cycle if m.model_is_cycle else m.train_paired)()
+        ckpts.append(glob.glob(f"{data_path}/models/{name}_*epoch1*.ckpt")[0])
+
+    seg_ckpt = glob.glob(f"{mask_path}/models/SegmentationModel_*.ckpt")[0]
+    group = ModelsGroup(
+        paths={"Model 1": ckpts[0], "Model 2": ckpts[1]},
+        compare="two", dataset_subset="usa", dataset_dem="same",
+        data_path=data_path, resize=None, crop=None, crop_index=0,
+        topography="all", metadata_dir=meta_dir,
+    )
+    df = group.compare_metrics(use_test_data=False, seg_model_path=seg_ckpt)
+    assert set(df.index) == {"Model 1", "Model 2"}
+    assert glob.glob(f"{data_path}/metrics/two_comparison_*.csv")
+    names = [group.models["Model 1"].train_loader.dataset.samples[0].image_name]
+    group.compare_output_images(names)
+    assert glob.glob(f"{data_path}/images/two_comparison_*.png")
+
+
+def test_cli_train_smoke(flood_fixture):
+    from floodgan_tpu.cli.train import main
+
+    data_path, meta_dir = flood_fixture
+    main([
+        "--model=PairedAttention", "--dataset_subset=usa", "--dataset_dem=same",
+        f"--data_path={data_path}", "--num_epochs=1", "--topography=dem",
+        "--verbose", f"--metadata_dir={meta_dir}",
+    ])

@@ -1,0 +1,126 @@
+"""Metric suite tests: SSIM against an independent scipy implementation,
+PSNR closed form, MS-SSIM invariants, confusion-matrix mask metrics vs
+direct numpy computation, LPIPS contract with synthetic weights."""
+
+import numpy as np
+import pytest
+from scipy.ndimage import convolve
+
+import jax.numpy as jnp
+
+from floodgan_tpu.eval.lpips import LPIPS
+from floodgan_tpu.eval.metrics import (
+    MaskMetricsAccumulator,
+    _gaussian_1d,
+    image_pair_metrics,
+    ms_ssim,
+    psnr,
+    ssim,
+)
+
+
+def _ssim_scipy(pred, target, data_range=1.0, size=11, sigma=1.5):
+    """Independent valid-region gaussian SSIM (per channel, averaged)."""
+    k1d = _gaussian_1d(size, sigma).astype(np.float64)
+    kern = np.outer(k1d, k1d)
+    c1, c2 = (0.01 * data_range) ** 2, (0.03 * data_range) ** 2
+    r = size // 2
+    vals = []
+    for c in range(pred.shape[-1]):
+        p, t = pred[..., c].astype(np.float64), target[..., c].astype(np.float64)
+        f = lambda im: convolve(im, kern, mode="constant")[r:-r, r:-r]
+        mp, mt = f(p), f(t)
+        vp, vt, cov = f(p * p) - mp**2, f(t * t) - mt**2, f(p * t) - mp * mt
+        smap = ((2 * mp * mt + c1) * (2 * cov + c2)) / ((mp**2 + mt**2 + c1) * (vp + vt + c2))
+        vals.append(smap.mean())
+    return float(np.mean(vals))
+
+
+def test_psnr_closed_form(rng):
+    pred = rng.random((2, 16, 16, 3), dtype=np.float32)
+    target = np.clip(pred + 0.1, 0, 1)
+    got = np.asarray(psnr(jnp.asarray(pred), jnp.asarray(target)))
+    for b in range(2):
+        mse = np.mean((pred[b] - target[b]) ** 2)
+        np.testing.assert_allclose(got[b], 10 * np.log10(1.0 / mse), rtol=1e-4)
+
+
+def test_ssim_vs_scipy(rng):
+    pred = rng.random((1, 48, 48, 3), dtype=np.float32)
+    target = np.clip(pred + rng.normal(0, 0.05, pred.shape), 0, 1).astype(np.float32)
+    got = float(ssim(jnp.asarray(pred), jnp.asarray(target))[0])
+    want = _ssim_scipy(pred[0], target[0])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_ssim_identity_is_one(rng):
+    x = rng.random((1, 32, 32, 3), dtype=np.float32)
+    assert abs(float(ssim(jnp.asarray(x), jnp.asarray(x))[0]) - 1.0) < 1e-5
+
+
+def test_ms_ssim_invariants(rng):
+    x = rng.random((1, 192, 192, 3), dtype=np.float32)
+    same = float(ms_ssim(jnp.asarray(x), jnp.asarray(x))[0])
+    assert abs(same - 1.0) < 1e-5
+    mild = np.clip(x + rng.normal(0, 0.02, x.shape), 0, 1).astype(np.float32)
+    heavy = np.clip(x + rng.normal(0, 0.2, x.shape), 0, 1).astype(np.float32)
+    v_mild = float(ms_ssim(jnp.asarray(x), jnp.asarray(mild))[0])
+    v_heavy = float(ms_ssim(jnp.asarray(x), jnp.asarray(heavy))[0])
+    assert 1.0 > v_mild > v_heavy > 0.0
+
+
+def test_image_pair_metrics_keys(rng):
+    x = jnp.asarray(rng.random((1, 192, 192, 3), dtype=np.float32))
+    out = image_pair_metrics(x, x)
+    assert set(out) == {"PSNR", "SSIM", "MS-SSIM"}
+
+
+def test_mask_metrics_vs_numpy(rng):
+    acc = MaskMetricsAccumulator()
+    preds, trues = [], []
+    for _ in range(3):
+        p = (rng.random((1, 32, 32, 1)) > 0.4).astype(np.float32)
+        t = (rng.random((1, 32, 32, 1)) > 0.6).astype(np.float32)
+        preds.append(p.ravel())
+        trues.append(t.ravel())
+        acc.update(jnp.asarray(p), jnp.asarray(t))
+    p = np.concatenate(preds)
+    t = np.concatenate(trues)
+    m = acc.compute()
+    tp = np.sum((p == 1) & (t == 1)); fp = np.sum((p == 1) & (t == 0))
+    fn = np.sum((p == 0) & (t == 1)); tn = np.sum((p == 0) & (t == 0))
+    np.testing.assert_allclose(m["MSE"], np.mean((p - t) ** 2), rtol=1e-6)
+    np.testing.assert_allclose(m["Accuracy"], np.mean(p == t), rtol=1e-6)
+    prec, rec = tp / (tp + fp), tp / (tp + fn)
+    np.testing.assert_allclose(m["Precision_Flood"], prec, rtol=1e-6)
+    np.testing.assert_allclose(m["Recall_Flood"], rec, rtol=1e-6)
+    np.testing.assert_allclose(m["F1_Flood"], 2 * prec * rec / (prec + rec), rtol=1e-6)
+    # inverted masks
+    pi, ti = 1 - p, 1 - t
+    tpn = np.sum((pi == 1) & (ti == 1)); fpn = np.sum((pi == 1) & (ti == 0)); fnn = np.sum((pi == 0) & (ti == 1))
+    np.testing.assert_allclose(m["Precision_No_Flood"], tpn / (tpn + fpn), rtol=1e-6)
+    np.testing.assert_allclose(m["Recall_No_Flood"], tpn / (tpn + fnn), rtol=1e-6)
+    np.testing.assert_allclose(m["IoU_Flood"], tp / (tp + fp + fn), rtol=1e-6)
+
+
+def _synthetic_lpips_weights(rng):
+    w = {}
+    chans = [3, 64, 192, 384, 256]
+    outs = [64, 192, 384, 256, 256]
+    ks = [11, 5, 3, 3, 3]
+    for i in range(5):
+        w[f"conv{i}_w"] = rng.normal(0, 0.05, (ks[i], ks[i], chans[i], outs[i])).astype(np.float32)
+        w[f"conv{i}_b"] = np.zeros(outs[i], np.float32)
+        w[f"lin{i}_w"] = rng.random((1, 1, outs[i], 1)).astype(np.float32)
+    return w
+
+
+def test_lpips_contract(rng):
+    metric = LPIPS(_synthetic_lpips_weights(rng))
+    x = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+    y = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+    d_same = np.asarray(metric(x, x))
+    d_diff = np.asarray(metric(x, y))
+    assert d_same.shape == (2,)
+    np.testing.assert_allclose(d_same, 0.0, atol=1e-6)
+    assert (d_diff > 0).all()

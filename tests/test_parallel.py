@@ -1,0 +1,74 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: the driver's
+dryrun entry points, and data-parallel == single-device equivalence of the
+jitted train step (gradient all-reduce inserted by GSPMD)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from floodgan_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+from floodgan_tpu.train.paired import PairedTrainer
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, example_args = ge.entry()
+    params, x = example_args
+    # compile-check on tiny shapes (512^2 is the driver's job on real TPU)
+    small_x = jnp.zeros((1, 64, 64, 9), jnp.float32)
+    out = jax.jit(fn)(params, small_x)
+    assert out.shape == (1, 64, 64, 3)
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_data_parallel_matches_single_device(rng):
+    """Same batch, sharded over 8 devices vs unsharded: identical losses
+    and identical updated parameters (psum-mean equivalence)."""
+    trainer = PairedTrainer("pairedattention", 4)
+    x = jnp.asarray(rng.standard_normal((8, 32, 32, 4), dtype=np.float32) * 0.3)
+    y = jnp.asarray(rng.standard_normal((8, 32, 32, 3), dtype=np.float32) * 0.3)
+    state = trainer.init(jax.random.key(0), x, y)
+    key = jax.random.key(7)
+    lr = jnp.float32(2e-4)
+
+    mesh = make_mesh(8)
+    x_dp, y_dp = shard_batch(x, mesh), shard_batch(y, mesh)
+
+    # Gradients (pre-optimizer) must match between sharded and unsharded
+    # execution — post-Adam params can't be compared (first-step updates are
+    # +-lr*sign(grad); reduction order flips signs of ~zero grads).  Grads
+    # are checked before the (donating) train steps run.
+    def loss_fn(gp, xx, yy):
+        return jnp.mean(jnp.abs(trainer.gen_apply(gp, xx, key) - yy))
+
+    gen_copy = jax.tree_util.tree_map(jnp.copy, state.gen_params)
+    g_single = jax.device_get(jax.jit(jax.grad(loss_fn))(gen_copy, x, y))
+    g_dp = jax.device_get(
+        jax.jit(jax.grad(loss_fn))(replicate_tree(gen_copy, mesh), x_dp, y_dp)
+    )
+    for xa, xb in zip(jax.tree_util.tree_leaves(g_single), jax.tree_util.tree_leaves(g_dp)):
+        scale = max(float(np.abs(xa).max()), 1e-8)
+        np.testing.assert_allclose(xa, xb, atol=1e-5 * scale + 1e-8)
+
+    # Full train step: loss scalars identical between DP and single-device.
+    state_dp = replicate_tree(jax.tree_util.tree_map(jnp.copy, state), mesh)
+    state_single, m_single = trainer.train_step(state, x, y, lr, key)
+    state_dp, m_dp = trainer.train_step(state_dp, x_dp, y_dp, lr, key)
+    for k in m_single:
+        np.testing.assert_allclose(
+            float(m_single[k]), float(m_dp[k]), rtol=1e-5, atol=1e-6, err_msg=k
+        )
