@@ -36,6 +36,8 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"],
+                   help="compute dtype (f32 master params either way)")
     args = p.parse_args()
 
     from floodgan_tpu.train.paired import PairedTrainer
@@ -47,23 +49,28 @@ def main() -> None:
     y = jnp.asarray(rng.standard_normal((args.batch, args.size, args.size, 3), dtype=np.float32))
 
     if model_is_cycle(args.model):
-        trainer = CycleTrainer(args.model, 9)
+        trainer = CycleTrainer(args.model, 9, compute_dtype=args.dtype)
     else:
-        trainer = PairedTrainer(args.model, 9)
+        trainer = PairedTrainer(args.model, 9, compute_dtype=args.dtype)
     state = trainer.init(jax.random.key(0), x, y)
     lr = jnp.float32(2e-4)
 
     def step(state, i):
         return trainer.train_step(state, x, y, lr, jax.random.key(i))
 
+    # NB: sync via a host value fetch — on the tunneled (axon) backend
+    # block_until_ready alone does not wait for execution.
+    def sync(metrics):
+        return float(jax.device_get(next(iter(metrics.values()))))
+
     for i in range(args.warmup):
         state, metrics = step(state, i)
-    jax.block_until_ready(metrics)
+    sync(metrics)
 
     t0 = time.perf_counter()
     for i in range(args.steps):
         state, metrics = step(state, 100 + i)
-    jax.block_until_ready(metrics)
+    sync(metrics)
     dt = time.perf_counter() - t0
 
     steps_per_sec = args.steps / dt

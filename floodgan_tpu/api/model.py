@@ -85,6 +85,7 @@ class Model:
         num_data_devices: int = 1,
         metadata_dir: Optional[str] = None,
         lpips_weights: Optional[str] = None,
+        compute_dtype: str = "float32",
         train_cfg: TrainConfig = TrainConfig(),
     ):
         if verbose:
@@ -146,9 +147,12 @@ class Model:
             self.trainer = CycleTrainer(
                 self.model, input_channels, cfg=train_cfg,
                 add_identity_loss=self.add_identity_loss,
+                compute_dtype=compute_dtype,
             )
         else:
-            self.trainer = PairedTrainer(self.model, input_channels, cfg=train_cfg)
+            self.trainer = PairedTrainer(
+                self.model, input_channels, cfg=train_cfg, compute_dtype=compute_dtype
+            )
 
         h, w = self._image_hw()
         sample_in = jnp.zeros((batch_size, h, w, input_channels), jnp.float32)

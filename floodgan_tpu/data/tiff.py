@@ -49,6 +49,39 @@ def _read_tag_values(f: BinaryIO, endian: str, ttype: int, count: int, raw: byte
     return list(struct.unpack(endian + fmt * count, data))
 
 
+def read_tags(path: str) -> dict:
+    """Parse the first IFD's tags (values decoded where typed).  Used for
+    GeoTIFF georeferencing tags (ModelPixelScale 33550, ModelTiepoint
+    33922) by the pre-processing metadata stage."""
+    with open(path, "rb") as f:
+        header = f.read(8)
+        endian = "<" if header[:2] == b"II" else ">"
+        _, ifd_offset = struct.unpack(endian + "HI", header[2:8])
+        f.seek(ifd_offset)
+        (num_entries,) = struct.unpack(endian + "H", f.read(2))
+        tags = {}
+        for _ in range(num_entries):
+            tag, ttype, count = struct.unpack(endian + "HHI", f.read(8))
+            raw = f.read(4)
+            tags[tag] = _read_tag_values(f, endian, ttype, count, raw)
+        return tags
+
+
+def geotransform(path: str):
+    """(x_min, y_max, pixel_w, pixel_h) from GeoTIFF tags — the subset of
+    GDAL's GetGeoTransform the reference metadata stage consumes
+    (reference pre_processing/data_pre_processing.py:19-77)."""
+    tags = read_tags(path)
+    scale = tags.get(33550)
+    tiepoint = tags.get(33922)
+    if not scale or not tiepoint or len(tiepoint) < 6:
+        raise ValueError(f"{path} has no GeoTIFF georeferencing tags")
+    # tiepoint: (i, j, k, x, y, z) raster->model anchor; scale: (sx, sy, sz)
+    x_min = tiepoint[3] - tiepoint[0] * scale[0]
+    y_max = tiepoint[4] + tiepoint[1] * scale[1]
+    return x_min, y_max, scale[0], scale[1]
+
+
 def imread(path: Union[str, "BinaryIO"]) -> np.ndarray:
     """Read a TIFF into an (H, W, C) array, or (H, W) when C == 1
     (matching tifffile's squeeze behavior the reference relies on at

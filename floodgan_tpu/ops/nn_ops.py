@@ -93,20 +93,27 @@ def batch_norm(
     normalisation applies at inference too (reference models/model.py:393,
     497, 579 pin the RNG instead; SURVEY.md §2.7).  Running statistics are
     therefore deliberately not tracked: they would never be consumed.
+
+    Statistics accumulate in f32 regardless of activation dtype (bf16
+    compute policy keeps norms stable).
     """
-    mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
-    var = jnp.var(x, axis=(0, 1, 2), keepdims=True)
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(0, 1, 2), keepdims=True)
+    var = jnp.var(x32, axis=(0, 1, 2), keepdims=True)
     inv = lax.rsqrt(var + eps)
-    return (x - mean) * inv * scale + bias
+    return ((x32 - mean) * inv * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dt)
 
 
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """torch.nn.InstanceNorm2d twin (default affine=False,
     track_running_stats=False): per-(N, C) statistics over (H, W),
-    biased variance."""
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.var(x, axis=(1, 2), keepdims=True)
-    return (x - mean) * lax.rsqrt(var + eps)
+    biased variance.  f32 statistics under the bf16 compute policy."""
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2), keepdims=True)
+    return ((x32 - mean) * lax.rsqrt(var + eps)).astype(dt)
 
 
 def reflect_pad2d(x: jax.Array, pad: int) -> jax.Array:

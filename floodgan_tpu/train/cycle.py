@@ -109,6 +109,7 @@ class CycleTrainer:
         input_channels: int,
         cfg: TrainConfig = TrainConfig(),
         add_identity_loss: bool = False,
+        compute_dtype: str = "float32",
     ):
         self.model = model
         self.cfg = cfg
@@ -119,10 +120,26 @@ class CycleTrainer:
         self.discriminator = build_discriminator(model)
         self.returns_mask = generator_returns_mask(model)
         self.tx = adam_tx(b1=cfg.adam_b1, b2=cfg.adam_b2)
+        # Mixed precision: f32 master params, bf16 activations/flops on the
+        # MXU, f32 norm statistics and losses (ops upcast internally).
+        self.compute_dtype = jnp.dtype(compute_dtype)
+
+    def _cast(self, tree):
+        if self.compute_dtype == jnp.float32:
+            return tree
+        return jax.tree_util.tree_map(lambda p: p.astype(self.compute_dtype), tree)
 
     def gen_apply(self, params, x):
-        out = self.generator.apply({"params": params}, x)
-        return out[0] if self.returns_mask else out
+        out = self.generator.apply(
+            {"params": self._cast(params)}, x.astype(self.compute_dtype)
+        )
+        out = out[0] if self.returns_mask else out
+        return out.astype(jnp.float32)
+
+    def disc_apply(self, params, x):
+        return self.discriminator.apply(
+            {"params": self._cast(params)}, x.astype(self.compute_dtype)
+        ).astype(jnp.float32)
 
     def init(self, rng, sample_input, sample_output) -> CycleState:
         kab, kba, kdpre, kdpost = jax.random.split(rng, 4)
@@ -169,10 +186,10 @@ class CycleTrainer:
             recreated_pre = self.gen_apply(gp["ba"], synthetic_post_c)
 
             post_gen_loss = lsgan_mse(
-                self.discriminator.apply({"params": state.disc_params["post"]}, synthetic_post_c), 1.0
+                self.disc_apply(state.disc_params["post"], synthetic_post_c), 1.0
             )
             pre_gen_loss = lsgan_mse(
-                self.discriminator.apply({"params": state.disc_params["pre"]}, synthetic_pre_c), 1.0
+                self.disc_apply(state.disc_params["pre"], synthetic_pre_c), 1.0
             )
             pre_to_post_cycle = l1_loss(recreated_pre, real_pre[..., :3]) * cfg.cycle_weight
             post_to_pre_cycle = l1_loss(recreated_post, real_post[..., :3]) * cfg.cycle_weight
@@ -209,10 +226,10 @@ class CycleTrainer:
 
         # ---- discriminator update (reference model.py:726-739) ----
         def d_loss_fn(dp):
-            loss_real_pre = lsgan_mse(self.discriminator.apply({"params": dp["pre"]}, real_pre), 1.0)
-            loss_syn_pre = lsgan_mse(self.discriminator.apply({"params": dp["pre"]}, buffered_pre), 0.0)
-            loss_real_post = lsgan_mse(self.discriminator.apply({"params": dp["post"]}, real_post), 1.0)
-            loss_syn_post = lsgan_mse(self.discriminator.apply({"params": dp["post"]}, buffered_post), 0.0)
+            loss_real_pre = lsgan_mse(self.disc_apply(dp["pre"], real_pre), 1.0)
+            loss_syn_pre = lsgan_mse(self.disc_apply(dp["pre"], buffered_pre), 0.0)
+            loss_real_post = lsgan_mse(self.disc_apply(dp["post"], real_post), 1.0)
+            loss_syn_post = lsgan_mse(self.disc_apply(dp["post"], buffered_post), 0.0)
             total = (loss_real_pre + loss_syn_pre) * cfg.disc_weight + (
                 loss_real_post + loss_syn_post
             ) * cfg.disc_weight

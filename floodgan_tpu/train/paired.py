@@ -53,6 +53,7 @@ class PairedTrainer:
         input_channels: int,
         cfg: TrainConfig = TrainConfig(),
         dropout_rate: float = 0.5,
+        compute_dtype: str = "float32",
     ):
         self.model = model
         self.cfg = cfg
@@ -61,13 +62,29 @@ class PairedTrainer:
         self.returns_mask = generator_returns_mask(model)
         self.tx = adam_tx(b1=cfg.adam_b1, b2=cfg.adam_b2)
         self.input_channels = input_channels
+        # Mixed precision: f32 master params, bf16 activations/flops on the
+        # MXU, f32 norm statistics and losses (ops upcast internally).
+        self.compute_dtype = jnp.dtype(compute_dtype)
+
+    def _cast(self, tree):
+        if self.compute_dtype == jnp.float32:
+            return tree
+        return jax.tree_util.tree_map(lambda p: p.astype(self.compute_dtype), tree)
 
     # -- generator forward normalised to a single output image ------------
     def gen_apply(self, params, x, rng):
         out = self.generator.apply(
-            {"params": params}, x, rngs={"dropout": rng}
+            {"params": self._cast(params)},
+            x.astype(self.compute_dtype),
+            rngs={"dropout": rng},
         )
-        return out[0] if self.returns_mask else out
+        out = out[0] if self.returns_mask else out
+        return out.astype(jnp.float32)
+
+    def disc_apply(self, params, x):
+        return self.discriminator.apply(
+            {"params": self._cast(params)}, x.astype(self.compute_dtype)
+        ).astype(jnp.float32)
 
     def init(self, rng, sample_input, sample_output) -> PairedState:
         kg, kd, kdrop = jax.random.split(rng, 3)
@@ -99,9 +116,9 @@ class PairedTrainer:
 
         # ---- discriminator update (reference model.py:620-633) ----
         def d_loss_fn(dp):
-            pred_syn = self.discriminator.apply({"params": dp}, concat_syn)
+            pred_syn = self.disc_apply(dp, concat_syn)
             loss_syn = lsgan_mse(pred_syn, 0.0)
-            pred_real = self.discriminator.apply({"params": dp}, concat_real)
+            pred_real = self.disc_apply(dp, concat_real)
             loss_real = lsgan_mse(pred_real, 1.0)
             return (loss_syn + loss_real) * cfg.disc_weight, (loss_syn, loss_real)
 
@@ -114,8 +131,8 @@ class PairedTrainer:
 
         # ---- generator update against the updated D (ref :636-646) ----
         def g_loss_from_syn(syn):
-            pred = self.discriminator.apply(
-                {"params": disc_params}, jnp.concatenate([input_stack, syn], axis=-1)
+            pred = self.disc_apply(
+                disc_params, jnp.concatenate([input_stack, syn], axis=-1)
             )
             loss_adv = lsgan_mse(pred, 1.0)
             loss_l1 = l1_loss(syn, output_image) * cfg.l1_weight

@@ -28,10 +28,17 @@ class SegState(flax.struct.PyTreeNode):
 
 
 class SegTrainer:
-    def __init__(self, cfg: TrainConfig = TrainConfig()):
+    def __init__(self, cfg: TrainConfig = TrainConfig(), compute_dtype: str = "float32"):
         self.cfg = cfg
         self.model = UNet()
         self.tx = adam_tx(b1=cfg.adam_b1, b2=cfg.adam_b2)
+        self.compute_dtype = jnp.dtype(compute_dtype)
+
+    def _apply(self, params, image):
+        if self.compute_dtype == jnp.float32:
+            return self.model.apply({"params": params}, image)
+        cast = jax.tree_util.tree_map(lambda p: p.astype(self.compute_dtype), params)
+        return self.model.apply({"params": cast}, image.astype(self.compute_dtype)).astype(jnp.float32)
 
     def init(self, rng, sample_input) -> SegState:
         params = self.model.init({"params": rng}, sample_input)["params"]
@@ -42,7 +49,7 @@ class SegTrainer:
         self, state: SegState, image, true_mask, lr
     ) -> Tuple[SegState, Dict[str, jax.Array]]:
         def loss_fn(p):
-            logits = self.model.apply({"params": p}, image)
+            logits = self._apply(p, image)
             return bce_with_logits(logits, true_mask), logits
 
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -53,11 +60,9 @@ class SegTrainer:
 
     @functools.partial(jax.jit, static_argnums=0)
     def predict_logits(self, params, image):
-        return self.model.apply({"params": params}, image)
+        return self._apply(params, image)
 
     @functools.partial(jax.jit, static_argnums=0)
     def predict_mask(self, params, image):
         """sigmoid > 0.5 binary mask (reference segmentation_model.py:244-248)."""
-        return (jax.nn.sigmoid(self.model.apply({"params": params}, image)) > 0.5).astype(
-            jnp.float32
-        )
+        return (jax.nn.sigmoid(self._apply(params, image)) > 0.5).astype(jnp.float32)
