@@ -42,33 +42,35 @@ class AttentionGenerator(nn.Module):
         # --- shared encoder ---
         h = ops.reflect_pad2d(x, 3)
         h = TorchConv(64, 7, 1, 0, name="conv1")(h)
-        h = jnp.maximum(ops.instance_norm(h), 0.0)
+        h = ops.instance_norm_act(h, relu=True)
         h = TorchConv(128, 3, 2, 1, name="conv2")(h)
-        h = jnp.maximum(ops.instance_norm(h), 0.0)
+        h = ops.instance_norm_act(h, relu=True)
         h = TorchConv(256, 3, 2, 1, name="conv3")(h)
-        h = jnp.maximum(ops.instance_norm(h), 0.0)
+        h = ops.instance_norm_act(h, relu=True)
         for i in range(9):
             h = ResnetBlock(256, name=f"res{i}")(h)
 
         # --- content head: 9 RGB content images ---
         c = TorchConvTranspose(128, 3, 2, 1, output_padding=1, name="deconv1_content")(h)
-        c = jnp.maximum(ops.instance_norm(c), 0.0)
+        c = ops.instance_norm_act(c, relu=True)
         c = TorchConvTranspose(64, 3, 2, 1, output_padding=1, name="deconv2_content")(c)
-        c = jnp.maximum(ops.instance_norm(c), 0.0)
+        c = ops.instance_norm_act(c, relu=True)
         c = ops.reflect_pad2d(c, 3)
         content = jnp.tanh(TorchConv(27, 7, 1, 0, name="deconv3_content")(c))
 
-        # --- attention head: 10 softmax masks ---
+        # --- attention head: 10 mask logits (softmax inside the fused
+        # composition, reference model_architectures.py:227-228) ---
         a = TorchConvTranspose(128, 3, 2, 1, output_padding=1, name="deconv1_attention")(h)
-        a = jnp.maximum(ops.instance_norm(a), 0.0)
+        a = ops.instance_norm_act(a, relu=True)
         a = TorchConvTranspose(64, 3, 2, 1, output_padding=1, name="deconv2_attention")(a)
-        a = jnp.maximum(ops.instance_norm(a), 0.0)
-        attention = nn.softmax(TorchConv(10, 1, 1, 0, name="deconv3_attention")(a), axis=-1)
+        a = ops.instance_norm_act(a, relu=True)
+        attn_logits = TorchConv(10, 1, 1, 0, name="deconv3_attention")(a)
 
-        # --- compose: 9 content*mask products + input_RGB*background ---
-        n, hh, ww, _ = content.shape
-        content9 = content.reshape(n, hh, ww, 9, 3)
-        foreground = jnp.einsum("nhwkc,nhwk->nhwc", content9, attention[..., :9])
-        background_mask = attention[..., 9:10]
-        output = foreground + x[..., :3] * background_mask
-        return output, background_mask[..., 0]
+        # --- compose: softmax + 9 content*mask products + background blend
+        # (Pallas epilogue on TPU, jnp elsewhere) ---
+        from floodgan_tpu.core.flags import use_pallas
+        from floodgan_tpu.ops import pallas_kernels as pk
+
+        compose = pk.attention_compose if use_pallas() else pk._attention_compose_jnp
+        output, background_mask = compose(content, attn_logits, x[..., :3])
+        return output, background_mask

@@ -26,11 +26,10 @@ class ResnetBlock(nn.Module):
     def __call__(self, x):
         h = ops.reflect_pad2d(x, 1)
         h = TorchConv(self.dim, 3, 1, 0, name="conv1")(h)
-        h = jnp.maximum(ops.instance_norm(h), 0.0)
+        h = ops.instance_norm_act(h, relu=True)
         h = ops.reflect_pad2d(h, 1)
         h = TorchConv(self.dim, 3, 1, 0, name="conv2")(h)
-        h = ops.instance_norm(h)
-        return x + h
+        return ops.instance_norm_act(h, residual=x)
 
 
 class CycleGANGenerator(nn.Module):
@@ -40,17 +39,17 @@ class CycleGANGenerator(nn.Module):
     def __call__(self, x):
         h = ops.reflect_pad2d(x, 3)
         h = TorchConv(64, 7, 1, 0, name="conv_in")(h)
-        h = jnp.maximum(ops.instance_norm(h), 0.0)
+        h = ops.instance_norm_act(h, relu=True)
         for i in range(2):
             h = TorchConv(64 * 2 ** (i + 1), 3, 2, 1, name=f"down{i + 1}")(h)
-            h = jnp.maximum(ops.instance_norm(h), 0.0)
+            h = ops.instance_norm_act(h, relu=True)
         for i in range(9):
             h = ResnetBlock(256, name=f"res{i}")(h)
         for i in range(2):
             h = TorchConvTranspose(
                 64 * 2 ** (1 - i), 3, 2, 1, output_padding=1, name=f"up{i + 1}"
             )(h)
-            h = jnp.maximum(ops.instance_norm(h), 0.0)
+            h = ops.instance_norm_act(h, relu=True)
         h = ops.reflect_pad2d(h, 3)
         h = TorchConv(3, 7, 1, 0, name="conv_out")(h)
         return jnp.tanh(h)

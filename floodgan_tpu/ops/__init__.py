@@ -4,6 +4,7 @@ from floodgan_tpu.ops.nn_ops import (
     conv_transpose2d,
     dropout,
     instance_norm,
+    instance_norm_act,
     leaky_relu,
     max_pool2d,
     reflect_pad2d,
@@ -16,6 +17,7 @@ __all__ = [
     "conv_transpose2d",
     "dropout",
     "instance_norm",
+    "instance_norm_act",
     "leaky_relu",
     "max_pool2d",
     "reflect_pad2d",

@@ -116,6 +116,25 @@ def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     return ((x32 - mean) * lax.rsqrt(var + eps)).astype(dt)
 
 
+def instance_norm_act(
+    x: jax.Array,
+    relu: bool = False,
+    residual: Optional[jax.Array] = None,
+    negative_slope: float = 0.0,
+) -> jax.Array:
+    """IN(+activation)(+residual) with Pallas fusion on TPU backends
+    (ops/pallas_kernels.py) and the jnp path elsewhere — numerics are
+    identical (golden-tested both ways)."""
+    from floodgan_tpu.core.flags import use_pallas
+    from floodgan_tpu.ops import pallas_kernels as pk
+
+    if use_pallas():
+        return pk.fused_instance_norm(
+            x, residual=residual, relu=relu, negative_slope=negative_slope
+        )
+    return pk._instance_norm_jnp(x, residual, relu, 1e-5, negative_slope)
+
+
 def reflect_pad2d(x: jax.Array, pad: int) -> jax.Array:
     """torch.nn.ReflectionPad2d / F.pad(mode='reflect') twin on H, W."""
     return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
