@@ -4,24 +4,26 @@ The FLOPs in this family live in XLA's MXU convolutions; what Pallas buys
 is *fusion* — collapsing the elementwise/reduction chains between convs
 into single VMEM-resident passes instead of separate HBM round trips:
 
-- ``fused_instance_norm``: InstanceNorm (+ optional ReLU, + optional
-  residual add) in one kernel.  Used around every conv of the
+- ``fused_instance_norm``: InstanceNorm (+ optional relu/leaky activation,
+  + optional residual add) in one kernel.  Used around every conv of the
   CycleGAN/Attention generators (27 IN sites per generator forward).
+  HW is tiled with a two-phase sequential grid (statistics pass, then
+  apply pass) and per-(channel-tile) scratch accumulators, so the kernel
+  covers every activation shape in the family (up to 512^2 x 256) within
+  a fixed VMEM budget.
 - ``attention_compose``: the AttentionGAN output head — softmax over the
   10 mask channels, 9x content*mask multiply-accumulate, background blend
   with the input RGB, plus the background-mask output — one pass over the
   39-channel decoder output instead of ~6 XLA fusions
   (reference model_architectures.py:225-258).
 
-Both kernels are exact (f32 statistics) and are golden-tested against the
-jnp reference implementations in tests/test_pallas.py (interpret mode on
-CPU; compiled on TPU).  Dispatch helpers fall back to the jnp path for
-shapes outside the kernels' VMEM budget.
-
 Training differentiates through both ops, so each carries a custom VJP
 whose backward is itself a fused Pallas kernel (re-computing the cheap
 statistics instead of saving normalized activations — memory-light
-residuals, one extra VMEM pass).
+residuals).  All kernels keep f32 statistics regardless of activation
+dtype and are golden-tested (values and gradients) against the jnp
+reference implementations in tests/test_pallas.py (interpret mode on CPU;
+compiled on TPU).
 """
 
 from __future__ import annotations
@@ -34,89 +36,145 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_INTERPRET = False  # flipped by tests on CPU
+_INTERPRET = False   # flipped by tests on CPU
+_HW_TILE = 2048      # rows per VMEM block (x lanes x 4B ~ 1MB per buffer)
 
 
-def _in_kernel(x_ref, res_ref, out_ref, *, eps: float, relu: bool,
-               negative_slope: float, has_residual: bool):
-    x = x_ref[0].astype(jnp.float32)                    # (HW, Ct)
-    mean = jnp.mean(x, axis=0, keepdims=True)
-    centered = x - mean
-    var = jnp.mean(centered * centered, axis=0, keepdims=True)
-    y = centered * jax.lax.rsqrt(var + eps)
-    if relu:
-        y = jnp.where(y >= 0.0, y, y * negative_slope)
-    if has_residual:
-        y = y + res_ref[0].astype(jnp.float32)
-    out_ref[0] = y.astype(out_ref.dtype)
+def _pick_tiles(hw: int, c: int):
+    tile = min(hw, _HW_TILE)
+    ct = min(c, 128)
+    if hw % tile or c % ct:
+        return None
+    return tile, ct
 
 
-def _in_shape_ok(x) -> bool:
+# ============================================================ instance norm
+
+def _in_fwd_kernel(x_ref, res_ref, out_ref, acc_ref, *, eps, relu,
+                   negative_slope, has_residual, hw, n_tiles):
+    """Two-phase grid over (N, C/ct, 2*n_tiles): phase A accumulates
+    sum/sumsq per channel tile; phase B normalizes + activation
+    (+ residual) and writes."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[0].astype(jnp.float32)  # (tile, ct)
+
+    @pl.when(i < n_tiles)
+    def _():
+        acc_ref[0, :] += jnp.sum(x, axis=0)
+        acc_ref[1, :] += jnp.sum(x * x, axis=0)
+
+    @pl.when(i >= n_tiles)
+    def _():
+        mean = acc_ref[0, :] / hw
+        var = acc_ref[1, :] / hw - mean * mean
+        inv = jax.lax.rsqrt(var + eps)
+        y = (x - mean[None, :]) * inv[None, :]
+        if relu:
+            y = jnp.where(y >= 0.0, y, y * negative_slope)
+        if has_residual:
+            y = y + res_ref[0].astype(jnp.float32)
+        out_ref[0] = y.astype(out_ref.dtype)
+
+
+def _in_pallas_fwd_call(x, residual, relu, eps, negative_slope=0.0):
     n, h, w, c = x.shape
     hw = h * w
-    ct = min(c, 128)
-    return c % ct == 0 and hw * ct * 8 <= 10 * 1024 * 1024
-
-
-def _in_pallas_fwd_call(x, residual, relu: bool, eps: float, negative_slope: float = 0.0):
-    n, h, w, c = x.shape
-    hw = h * w
-    ct = min(c, 128)
+    tile, ct = _pick_tiles(hw, c)
+    n_tiles = hw // tile
     x3 = x.reshape(n, hw, c)
     res3 = residual.reshape(n, hw, c) if residual is not None else x3
-    spec = pl.BlockSpec((1, hw, ct), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec(
+        (1, tile, ct), lambda b, j, i: (b, i % n_tiles, j), memory_space=pltpu.VMEM
+    )
     out = pl.pallas_call(
         functools.partial(
-            _in_kernel, eps=eps, relu=relu, negative_slope=negative_slope,
-            has_residual=residual is not None,
+            _in_fwd_kernel, eps=eps, relu=relu, negative_slope=negative_slope,
+            has_residual=residual is not None, hw=float(hw), n_tiles=n_tiles,
         ),
         out_shape=jax.ShapeDtypeStruct((n, hw, c), x.dtype),
-        grid=(n, c // ct),
+        grid=(n, c // ct, 2 * n_tiles),
         in_specs=[spec, spec],
         out_specs=spec,
+        scratch_shapes=[pltpu.VMEM((2, ct), jnp.float32)],
         interpret=_INTERPRET,
     )(x3, res3)
     return out.reshape(n, h, w, c)
 
 
-def _in_bwd_kernel(x_ref, g_ref, dx_ref, *, eps: float, relu: bool,
-                   negative_slope: float):
-    """d/dx of (act?)((x - mu) * rsqrt(var + eps)): recompute statistics,
-    then dx = inv * (dy - mean(dy) - y * mean(dy * y))."""
+def _in_bwd_kernel(x_ref, g_ref, dx_ref, acc_ref, *, eps, relu,
+                   negative_slope, hw, n_tiles):
+    """Three-phase backward: (A) x stats; (B) masked-grad stats
+    mean(g~), mean(g~*y); (C) dx = inv*(g~ - mean(g~) - y*mean(g~*y))."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
     x = x_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)
-    mean = jnp.mean(x, axis=0, keepdims=True)
-    centered = x - mean
-    var = jnp.mean(centered * centered, axis=0, keepdims=True)
-    inv = jax.lax.rsqrt(var + eps)
-    y = centered * inv
-    if relu:
-        g = g * jnp.where(y >= 0.0, 1.0, negative_slope)
-    dx = inv * (
-        g - jnp.mean(g, axis=0, keepdims=True) - y * jnp.mean(g * y, axis=0, keepdims=True)
-    )
-    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    @pl.when(i < n_tiles)
+    def _():
+        acc_ref[0, :] += jnp.sum(x, axis=0)
+        acc_ref[1, :] += jnp.sum(x * x, axis=0)
+
+    @pl.when((i >= n_tiles) & (i < 2 * n_tiles))
+    def _():
+        mean = acc_ref[0, :] / hw
+        var = acc_ref[1, :] / hw - mean * mean
+        inv = jax.lax.rsqrt(var + eps)
+        y = (x - mean[None, :]) * inv[None, :]
+        g = g_ref[0].astype(jnp.float32)
+        if relu:
+            g = g * jnp.where(y >= 0.0, 1.0, negative_slope)
+        acc_ref[2, :] += jnp.sum(g, axis=0)
+        acc_ref[3, :] += jnp.sum(g * y, axis=0)
+
+    @pl.when(i >= 2 * n_tiles)
+    def _():
+        mean = acc_ref[0, :] / hw
+        var = acc_ref[1, :] / hw - mean * mean
+        inv = jax.lax.rsqrt(var + eps)
+        y = (x - mean[None, :]) * inv[None, :]
+        g = g_ref[0].astype(jnp.float32)
+        if relu:
+            g = g * jnp.where(y >= 0.0, 1.0, negative_slope)
+        mg = acc_ref[2, :] / hw
+        mgy = acc_ref[3, :] / hw
+        dx = inv[None, :] * (g - mg[None, :] - y * mgy[None, :])
+        dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
-def _in_pallas_bwd_call(x, g, relu: bool, eps: float, negative_slope: float = 0.0):
+def _in_pallas_bwd_call(x, g, relu, eps, negative_slope=0.0):
     n, h, w, c = x.shape
     hw = h * w
-    ct = min(c, 128)
-    spec = pl.BlockSpec((1, hw, ct), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM)
+    tile, ct = _pick_tiles(hw, c)
+    n_tiles = hw // tile
+    spec = pl.BlockSpec(
+        (1, tile, ct), lambda b, j, i: (b, i % n_tiles, j), memory_space=pltpu.VMEM
+    )
     dx = pl.pallas_call(
-        functools.partial(_in_bwd_kernel, eps=eps, relu=relu,
-                          negative_slope=negative_slope),
+        functools.partial(
+            _in_bwd_kernel, eps=eps, relu=relu, negative_slope=negative_slope,
+            hw=float(hw), n_tiles=n_tiles,
+        ),
         out_shape=jax.ShapeDtypeStruct((n, hw, c), x.dtype),
-        grid=(n, c // ct),
+        grid=(n, c // ct, 3 * n_tiles),
         in_specs=[spec, spec],
         out_specs=spec,
+        scratch_shapes=[pltpu.VMEM((4, ct), jnp.float32)],
         interpret=_INTERPRET,
     )(x.reshape(n, hw, c), g.reshape(n, hw, c))
     return dx.reshape(n, h, w, c)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _fused_in_pallas(x, residual, relu: bool, eps: float, negative_slope: float):
+def _fused_in_pallas(x, residual, relu, eps, negative_slope):
     return _in_pallas_fwd_call(x, residual, relu, eps, negative_slope)
 
 
@@ -131,6 +189,23 @@ def _fused_in_bwd(relu, eps, negative_slope, res, g):
 
 
 _fused_in_pallas.defvjp(_fused_in_fwd, _fused_in_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _fused_in_no_res(x, relu, eps, negative_slope):
+    return _in_pallas_fwd_call(x, None, relu, eps, negative_slope)
+
+
+def _fused_in_nr_fwd(x, relu, eps, negative_slope):
+    return _in_pallas_fwd_call(x, None, relu, eps, negative_slope), (x,)
+
+
+def _fused_in_nr_bwd(relu, eps, negative_slope, res, g):
+    (x,) = res
+    return (_in_pallas_bwd_call(x, g, relu, eps, negative_slope),)
+
+
+_fused_in_no_res.defvjp(_fused_in_nr_fwd, _fused_in_nr_bwd)
 
 
 def fused_instance_norm(
@@ -148,28 +223,11 @@ def fused_instance_norm(
     either ``act(IN(x))`` (post-conv activation) or ``IN(x) + residual``
     (block tail); with both, the activation applies before the add.
     """
-    if not _in_shape_ok(x):
+    if _pick_tiles(x.shape[1] * x.shape[2], x.shape[3]) is None:
         return _instance_norm_jnp(x, residual, relu, eps, negative_slope)
     if residual is None:
         return _fused_in_no_res(x, relu, eps, negative_slope)
     return _fused_in_pallas(x, residual, relu, eps, negative_slope)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def _fused_in_no_res(x, relu: bool, eps: float, negative_slope: float):
-    return _in_pallas_fwd_call(x, None, relu, eps, negative_slope)
-
-
-def _fused_in_nr_fwd(x, relu, eps, negative_slope):
-    return _in_pallas_fwd_call(x, None, relu, eps, negative_slope), (x,)
-
-
-def _fused_in_nr_bwd(relu, eps, negative_slope, res, g):
-    (x,) = res
-    return (_in_pallas_bwd_call(x, g, relu, eps, negative_slope),)
-
-
-_fused_in_no_res.defvjp(_fused_in_nr_fwd, _fused_in_nr_bwd)
 
 
 def _instance_norm_jnp(x, residual, relu, eps, negative_slope=0.0):
@@ -183,6 +241,11 @@ def _instance_norm_jnp(x, residual, relu, eps, negative_slope=0.0):
     if residual is not None:
         y = y + residual.astype(jnp.float32)
     return y.astype(dt)
+
+
+# ======================================================== attention compose
+
+_COMPOSE_TILE = 512  # 5 buffers x (512 x 128 lanes x 4B) stays well in VMEM
 
 
 def _compose_kernel(content_ref, logits_ref, rgb_ref, out_ref, mask_ref):
@@ -202,16 +265,20 @@ def _compose_kernel(content_ref, logits_ref, rgb_ref, out_ref, mask_ref):
     mask_ref[0] = attn[:, 9:10].astype(mask_ref.dtype)
 
 
+def _compose_specs(tile):
+    def spec(c):
+        return pl.BlockSpec(
+            (1, tile, c), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        )
+
+    return spec
+
+
 def _compose_fwd_call(content, attn_logits, rgb):
     n, h, w, _ = content.shape
     hw = h * w
-    tile = min(hw, 2048)
-
-    def spec(c):
-        return pl.BlockSpec(
-            (1, tile, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-        )
-
+    tile = min(hw, _COMPOSE_TILE)
+    spec = _compose_specs(tile)
     out, mask = pl.pallas_call(
         _compose_kernel,
         out_shape=(
@@ -239,7 +306,6 @@ def _compose_bwd_kernel(
     e = jnp.exp(logits - m)
     attn = e / jnp.sum(e, axis=-1, keepdims=True)   # (T, 10)
 
-    # dcontent_{3k+ch} = gout_ch * a_k ; drgb_ch = gout_ch * a_9
     dc_cols = []
     da_cols = []
     for k in range(9):
@@ -253,7 +319,6 @@ def _compose_bwd_kernel(
         da9 = da9 + gout[:, ch] * rgb[:, ch]
     da_cols.append(da9)
     da = jnp.stack(da_cols, axis=-1)                # (T, 10)
-    # softmax vjp: dl = a * (da - sum(a * da))
     dlogits = attn * (da - jnp.sum(attn * da, axis=-1, keepdims=True))
 
     dcontent_ref[0] = jnp.stack(dc_cols, axis=-1).astype(dcontent_ref.dtype)
@@ -264,13 +329,8 @@ def _compose_bwd_kernel(
 def _compose_bwd_call(content, attn_logits, rgb, gout, gmask):
     n, h, w, _ = content.shape
     hw = h * w
-    tile = min(hw, 2048)
-
-    def spec(c):
-        return pl.BlockSpec(
-            (1, tile, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-        )
-
+    tile = min(hw, _COMPOSE_TILE)
+    spec = _compose_specs(tile)
     dcontent, dlogits, drgb = pl.pallas_call(
         _compose_bwd_kernel,
         out_shape=(
@@ -322,7 +382,7 @@ def attention_compose(
     """Returns (output (N,H,W,3), background_mask (N,H,W)) — the
     AttentionGAN composition head in one differentiable pass."""
     hw = content.shape[1] * content.shape[2]
-    if hw % min(hw, 2048):
+    if hw % min(hw, _COMPOSE_TILE):
         return _attention_compose_jnp(content, attn_logits, rgb)
     return _attention_compose_pallas(content, attn_logits, rgb)
 

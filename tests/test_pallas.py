@@ -108,3 +108,28 @@ def test_attention_compose_grad(rng):
     g2 = jax.grad(f(pk._attention_compose_jnp), argnums=(0, 1, 2))(content, logits, rgb)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_instance_norm_multi_tile(rng):
+    """hw > tile: exercises the two-phase stats/apply grid."""
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 256), dtype=np.float32))
+    res = jnp.asarray(rng.standard_normal((1, 64, 64, 256), dtype=np.float32))
+    got = pk.fused_instance_norm(x, residual=res, relu=False)
+    want = pk._instance_norm_jnp(x, res, False, 1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    def f(fn):
+        def g(x_):
+            return jnp.sum(jnp.sin(fn(x_)))
+        return g
+
+    g1 = jax.grad(f(lambda x_: pk.fused_instance_norm(x_, relu=True)))(x)
+    g2 = jax.grad(f(lambda x_: pk._instance_norm_jnp(x_, None, True, 1e-5)))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_leaky_slope_variant(rng):
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 128), dtype=np.float32))
+    got = pk.fused_instance_norm(x, relu=True, negative_slope=0.2)
+    want = pk._instance_norm_jnp(x, None, True, 1e-5, 0.2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
