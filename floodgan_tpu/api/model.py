@@ -278,15 +278,21 @@ class Model:
     def _train_loop(self) -> None:
         for epoch in range(self.starting_epoch, self.num_epochs + 1):
             epoch_start_time = time.time()
-            losses = self._initialise_loss_storage(overall=False)
             lr = jnp.float32(self._epoch_lr(epoch))
             epoch_key = self.streams.epoch(epoch)
 
+            # Loss scalars stay on device during the epoch (the reference's
+            # per-step .item() forces a host sync every step,
+            # models/model.py:648-651); one transfer at epoch end.
+            step_metrics = []
             for step, batch in enumerate(self.train_loader.epoch_iter(epoch)):
                 x, y = self._device_batch(batch)
                 step_key = jax.random.fold_in(epoch_key, step)
                 self.state, metrics = self.trainer.train_step(self.state, x, y, lr, step_key)
-                host = jax.device_get(metrics)
+                step_metrics.append(metrics)
+
+            losses = self._initialise_loss_storage(overall=False)
+            for host in jax.device_get(step_metrics):
                 for k, v in host.items():
                     losses[k].append(float(v))
 

@@ -119,15 +119,16 @@ class SegmentationModel:
         """(reference models/segmentation_model.py:250-277)"""
         for epoch in range(self.starting_epoch, self.num_epochs + 1):
             epoch_start_time = time.time()
-            losses, accuracies = [], []
+            step_metrics = []
             lr = jnp.float32(self.train_cfg.seg_lr * lambda_rule(epoch - 1, self.num_epochs))
             for batch in self.train_loader.epoch_iter(epoch):
                 self.state, metrics = self.trainer.train_step(
                     self.state, batch["input"], batch["output"], lr
                 )
-                host = jax.device_get(metrics)
-                losses.append(float(host["loss"]))
-                accuracies.append(float(host["accuracy"]))
+                step_metrics.append(metrics)
+            hosts = jax.device_get(step_metrics)
+            losses = [float(h["loss"]) for h in hosts]
+            accuracies = [float(h["accuracy"]) for h in hosts]
             self.save_results(epoch, losses, accuracies, epoch_start_time)
 
     def save_results(self, epoch, losses, accuracies, epoch_start_time) -> None:
