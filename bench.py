@@ -19,12 +19,9 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 A100_REFERENCE_STEPS_PER_SEC = 4.0
 
@@ -33,12 +30,23 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="pairedattention")
     p.add_argument("--size", type=int, default=512)
-    p.add_argument("--batch", type=int, default=1)
-    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--steps", type=int, default=10)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"],
                    help="compute dtype (f32 master params either way)")
+    p.add_argument("--pallas", action="store_true",
+                   help="enable the Pallas kernel paths (default off in bench: "
+                        "the tunneled backend's remote compile of Pallas calls "
+                        "is prohibitively slow)")
     args = p.parse_args()
+
+    if not args.pallas:
+        os.environ["FLOODGAN_PALLAS"] = "0"
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     from floodgan_tpu.train.paired import PairedTrainer
     from floodgan_tpu.train.cycle import CycleTrainer

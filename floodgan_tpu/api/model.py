@@ -276,6 +276,17 @@ class Model:
     # ------------------------------------------------------------ training
 
     def _train_loop(self) -> None:
+        try:
+            self._train_epochs()
+        except KeyboardInterrupt:
+            # Best-effort recovery point (the reference's only recovery is
+            # manual resume from periodic checkpoints, SURVEY.md §5).
+            if self.save_model_interval and self.current_epoch >= self.starting_epoch:
+                print("\nInterrupted — saving a resume checkpoint...")
+                self.save_checkpoint(self.current_epoch)
+            raise
+
+    def _train_epochs(self) -> None:
         for epoch in range(self.starting_epoch, self.num_epochs + 1):
             epoch_start_time = time.time()
             lr = jnp.float32(self._epoch_lr(epoch))
