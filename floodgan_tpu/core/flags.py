@@ -14,7 +14,11 @@ import os
 
 import jax
 
-_TPU_PLATFORMS = ("tpu", "axon")
+# Real TPU runtimes only: the axon dev tunnel's remote-compile path stalls
+# on pallas_call lowering (observed: single-kernel compiles exceeding 10
+# minutes and wedging the device grant), so it is opt-in there via
+# FLOODGAN_PALLAS=1.
+_TPU_PLATFORMS = ("tpu",)
 
 
 def use_pallas() -> bool:
