@@ -31,6 +31,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num_data_devices", type=int, default=1, help="Data-parallel mesh size (shards the batch over TPU chips)")
     parser.add_argument("--metadata_dir", default=None, help="Directory holding dataset_split.csv (defaults to ./metadata like the reference)")
     parser.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"], help="Activation/flop dtype (f32 master params either way)")
+    parser.add_argument("--profile_dir", default=None, help="Capture a jax.profiler trace of training into this directory")
     return parser
 
 
@@ -45,13 +46,17 @@ def main(argv=None) -> None:
             raise FileNotFoundError("Saved model not found. Check the path to the model.")
 
     from floodgan_tpu.api import Model
+    from floodgan_tpu.utils.profiling import trace
 
+    profile_dir = args.profile_dir
+    del args.profile_dir
     args.training_model = True
     train_model = Model(**vars(args))
-    if train_model.model_is_cycle:
-        train_model.train_cycle()
-    else:
-        train_model.train_paired()
+    with trace(profile_dir):
+        if train_model.model_is_cycle:
+            train_model.train_cycle()
+        else:
+            train_model.train_paired()
 
 
 if __name__ == "__main__":

@@ -106,6 +106,25 @@ def emit_rasterize_river_script(
     return _write_script(script_path, lines)
 
 
+def emit_flow_crop_script(
+    extents: Mapping[str, tuple], regional_maps: Mapping[str, str],
+    image_regions: Mapping[str, str], out_dir: str, script_path: str,
+    size: int = 1024,
+) -> str:
+    """gdal_translate bbox crops of the per-region flow-accumulation maps
+    (reference :271-287).  ``image_regions`` maps image -> region key of
+    ``regional_maps``."""
+    lines = []
+    for image, (x_min, y_min, x_max, y_max) in extents.items():
+        src = regional_maps[image_regions[image]]
+        out = os.path.join(out_dir, f"{image}.tif")
+        lines.append(
+            f'gdal_translate -projwin {x_min} {y_max} {x_max} {y_min} '
+            f'-outsize {size} {size} "{src}" "{out}"'
+        )
+    return _write_script(script_path, lines)
+
+
 def _write_script(path: str, lines: Iterable[str]) -> str:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:

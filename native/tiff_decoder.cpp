@@ -7,8 +7,11 @@
 // into a caller-provided float32 HWC buffer on a std::thread pool, with no
 // python object churn; python binds via ctypes (no pybind11 in the image).
 //
-// Wire-format coverage matches floodgan_tpu/data/tiff.py (the pure-python
-// twin used as fallback and golden reference in tests).
+// The hot path (little-endian float32, uncompressed) seeks straight to the
+// strips and freads them into the destination buffer — one data pass, no
+// intermediate copies.  Wire-format coverage matches
+// floodgan_tpu/data/tiff.py (the pure-python twin used as fallback and
+// golden reference in tests).
 
 #include <atomic>
 #include <cstdint>
@@ -21,65 +24,86 @@
 
 namespace {
 
-struct Reader {
-    const uint8_t* data;
-    size_t size;
-    bool big_endian;
-
-    uint16_t u16(size_t off) const {
-        if (off + 2 > size) return 0;
-        return big_endian ? (uint16_t)((data[off] << 8) | data[off + 1])
-                          : (uint16_t)(data[off] | (data[off + 1] << 8));
-    }
-    uint32_t u32(size_t off) const {
-        if (off + 4 > size) return 0;
-        return big_endian
-                   ? ((uint32_t)data[off] << 24) | ((uint32_t)data[off + 1] << 16) |
-                         ((uint32_t)data[off + 2] << 8) | data[off + 3]
-                   : (uint32_t)data[off] | ((uint32_t)data[off + 1] << 8) |
-                         ((uint32_t)data[off + 2] << 16) | ((uint32_t)data[off + 3] << 24);
-    }
-};
+constexpr int kTypeSizes[13] = {0, 1, 1, 2, 4, 8, 1, 1, 2, 4, 8, 4, 8};
 
 struct TiffInfo {
     uint32_t width = 0, height = 0;
     uint16_t spp = 1, bits = 8, compression = 1, sample_format = 1;
-    std::vector<uint32_t> strip_offsets, strip_counts;
+    bool big_endian = false;
+    std::vector<uint64_t> strip_offsets, strip_counts;
 };
 
-constexpr int kTypeSizes[13] = {0, 1, 1, 2, 4, 8, 1, 1, 2, 4, 8, 4, 8};
+uint16_t rd16(const uint8_t* p, bool be) {
+    return be ? (uint16_t)((p[0] << 8) | p[1]) : (uint16_t)(p[0] | (p[1] << 8));
+}
+uint32_t rd32(const uint8_t* p, bool be) {
+    return be ? ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16) |
+                    ((uint32_t)p[2] << 8) | p[3]
+              : (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16) |
+                    ((uint32_t)p[3] << 24);
+}
 
-bool parse_ifd(const Reader& r, TiffInfo* info) {
-    if (r.size < 8) return false;
-    uint32_t ifd = r.u32(4);
-    if (ifd + 2 > r.size) return false;
-    uint16_t n = r.u16(ifd);
-    for (uint16_t i = 0; i < n; ++i) {
-        size_t e = ifd + 2 + 12 * (size_t)i;
-        uint16_t tag = r.u16(e), type = r.u16(e + 2);
-        uint32_t count = r.u32(e + 4);
-        if (type > 12) continue;
+bool read_at(FILE* f, long off, void* dst, size_t len) {
+    if (std::fseek(f, off, SEEK_SET) != 0) return false;
+    return std::fread(dst, 1, len, f) == len;
+}
+
+// Parse the first IFD with targeted reads (header, IFD block, external
+// value arrays) — no whole-file read.
+bool parse_header(FILE* f, TiffInfo* info) {
+    uint8_t hdr[8];
+    if (!read_at(f, 0, hdr, 8)) return false;
+    bool be;
+    if (hdr[0] == 'I' && hdr[1] == 'I') be = false;
+    else if (hdr[0] == 'M' && hdr[1] == 'M') be = true;
+    else return false;
+    if (rd16(hdr + 2, be) != 42) return false;
+    info->big_endian = be;
+    uint32_t ifd_off = rd32(hdr + 4, be);
+
+    uint8_t nbuf[2];
+    if (!read_at(f, (long)ifd_off, nbuf, 2)) return false;
+    uint16_t n = rd16(nbuf, be);
+    std::vector<uint8_t> entries((size_t)n * 12);
+    if (std::fread(entries.data(), 1, entries.size(), f) != entries.size())
+        return false;
+
+    auto values = [&](const uint8_t* e, std::vector<uint64_t>* out_vals) -> bool {
+        uint16_t type = rd16(e + 2, be);
+        uint32_t count = rd32(e + 4, be);
+        if (type > 12) return true;  // skip unknown
         size_t vsize = (size_t)kTypeSizes[type] * count;
-        size_t voff = vsize > 4 ? r.u32(e + 8) : e + 8;
-        auto val = [&](uint32_t idx) -> uint32_t {
-            size_t o = voff + (size_t)kTypeSizes[type] * idx;
-            return type == 3 ? r.u16(o) : r.u32(o);
-        };
+        std::vector<uint8_t> ext;
+        const uint8_t* src = e + 8;
+        if (vsize > 4) {
+            ext.resize(vsize);
+            if (!read_at(f, (long)rd32(e + 8, be), ext.data(), vsize)) return false;
+            src = ext.data();
+        }
+        out_vals->clear();
+        for (uint32_t k = 0; k < count; ++k) {
+            const uint8_t* p = src + (size_t)kTypeSizes[type] * k;
+            if (type == 3) out_vals->push_back(rd16(p, be));
+            else if (type == 4) out_vals->push_back(rd32(p, be));
+            else if (type == 1) out_vals->push_back(*p);
+            else return true;  // other types unused by our tags
+        }
+        return true;
+    };
+
+    std::vector<uint64_t> vals;
+    for (uint16_t i = 0; i < n; ++i) {
+        const uint8_t* e = entries.data() + (size_t)i * 12;
+        uint16_t tag = rd16(e, be);
         switch (tag) {
-            case 256: info->width = val(0); break;
-            case 257: info->height = val(0); break;
-            case 258: info->bits = (uint16_t)val(0); break;
-            case 259: info->compression = (uint16_t)val(0); break;
-            case 273:
-                info->strip_offsets.resize(count);
-                for (uint32_t k = 0; k < count; ++k) info->strip_offsets[k] = val(k);
-                break;
-            case 277: info->spp = (uint16_t)val(0); break;
-            case 279:
-                info->strip_counts.resize(count);
-                for (uint32_t k = 0; k < count; ++k) info->strip_counts[k] = val(k);
-                break;
-            case 339: info->sample_format = (uint16_t)val(0); break;
+            case 256: if (!values(e, &vals) || vals.empty()) return false; info->width = (uint32_t)vals[0]; break;
+            case 257: if (!values(e, &vals) || vals.empty()) return false; info->height = (uint32_t)vals[0]; break;
+            case 258: if (!values(e, &vals) || vals.empty()) return false; info->bits = (uint16_t)vals[0]; break;
+            case 259: if (!values(e, &vals) || vals.empty()) return false; info->compression = (uint16_t)vals[0]; break;
+            case 273: if (!values(e, &vals)) return false; info->strip_offsets = vals; break;
+            case 277: if (!values(e, &vals) || vals.empty()) return false; info->spp = (uint16_t)vals[0]; break;
+            case 279: if (!values(e, &vals)) return false; info->strip_counts = vals; break;
+            case 339: if (!values(e, &vals) || vals.empty()) return false; info->sample_format = (uint16_t)vals[0]; break;
             default: break;
         }
     }
@@ -87,8 +111,8 @@ bool parse_ifd(const Reader& r, TiffInfo* info) {
            info->strip_offsets.size() == info->strip_counts.size();
 }
 
-bool inflate_strip(const uint8_t* src, size_t src_len, uint8_t* dst, size_t dst_cap,
-                   size_t* written) {
+bool inflate_into(const uint8_t* src, size_t src_len, uint8_t* dst,
+                  size_t dst_cap, size_t* written) {
     z_stream zs;
     std::memset(&zs, 0, sizeof(zs));
     if (inflateInit(&zs) != Z_OK) return false;
@@ -102,79 +126,93 @@ bool inflate_strip(const uint8_t* src, size_t src_len, uint8_t* dst, size_t dst_
     return rc == Z_STREAM_END || rc == Z_OK;
 }
 
-// byteswap helpers for big-endian files
-template <typename T>
-T bswap(T v);
-template <>
-uint16_t bswap(uint16_t v) { return (uint16_t)((v >> 8) | (v << 8)); }
-template <>
-uint32_t bswap(uint32_t v) {
+uint32_t bswap32(uint32_t v) {
     return (v >> 24) | ((v >> 8) & 0xff00u) | ((v << 8) & 0xff0000u) | (v << 24);
 }
 
-// Decode one TIFF file's payload into float32 HWC [0..] (uint kinds are
-// copied verbatim as their numeric value; normalisation happens on device).
 int decode_one(const std::string& path, float* out, int64_t out_h, int64_t out_w,
                int64_t out_c) {
     FILE* f = std::fopen(path.c_str(), "rb");
     if (!f) return -1;
-    std::fseek(f, 0, SEEK_END);
-    long fsize = std::ftell(f);
-    std::fseek(f, 0, SEEK_SET);
-    std::vector<uint8_t> buf((size_t)fsize);
-    if (std::fread(buf.data(), 1, (size_t)fsize, f) != (size_t)fsize) {
-        std::fclose(f);
-        return -2;
-    }
-    std::fclose(f);
-
-    Reader r{buf.data(), (size_t)fsize, false};
-    if (fsize < 8) return -3;
-    if (buf[0] == 'M' && buf[1] == 'M') r.big_endian = true;
-    else if (!(buf[0] == 'I' && buf[1] == 'I')) return -3;
-    if (r.u16(2) != 42) return -3;
-
     TiffInfo info;
-    if (!parse_ifd(r, &info)) return -4;
+    if (!parse_header(f, &info)) { std::fclose(f); return -3; }
     if ((int64_t)info.height != out_h || (int64_t)info.width != out_w ||
-        (int64_t)info.spp != out_c)
-        return -5;
+        (int64_t)info.spp != out_c) { std::fclose(f); return -5; }
 
-    size_t bytes_per_sample = info.bits / 8;
-    size_t total = (size_t)info.height * info.width * info.spp * bytes_per_sample;
-    std::vector<uint8_t> raw(total);
+    size_t bps = info.bits / 8;
+    size_t total = (size_t)info.height * info.width * info.spp * bps;
+    size_t n = (size_t)info.height * info.width * info.spp;
+
+    // Hot path: LE float32, uncompressed -> fread strips straight into out.
+    if (info.compression == 1 && info.sample_format == 3 && info.bits == 32 &&
+        !info.big_endian) {
+        uint8_t* dst = reinterpret_cast<uint8_t*>(out);
+        size_t pos = 0;
+        for (size_t s = 0; s < info.strip_offsets.size(); ++s) {
+            size_t cnt = info.strip_counts[s];
+            if (pos + cnt > total) { std::fclose(f); return -6; }
+            if (!read_at(f, (long)info.strip_offsets[s], dst + pos, cnt)) {
+                std::fclose(f); return -6;
+            }
+            pos += cnt;
+        }
+        std::fclose(f);
+        return pos == total ? 0 : -6;
+    }
+
+    // General path: gather strip payloads (decompressing as needed).  When
+    // the payload is already LE float32 the destination buffer itself is
+    // the gather target (no intermediate, no conversion pass).
+    bool direct = info.sample_format == 3 && info.bits == 32 && !info.big_endian;
+    std::vector<uint8_t> raw;
+    if (!direct) raw.resize(total);
+    uint8_t* gather = direct ? reinterpret_cast<uint8_t*>(out) : raw.data();
+    std::vector<uint8_t> strip;
     size_t pos = 0;
     for (size_t s = 0; s < info.strip_offsets.size(); ++s) {
-        const uint8_t* src = buf.data() + info.strip_offsets[s];
         size_t cnt = info.strip_counts[s];
-        if (info.strip_offsets[s] + cnt > (size_t)fsize) return -6;
         if (info.compression == 1) {
-            if (pos + cnt > total) return -6;
-            std::memcpy(raw.data() + pos, src, cnt);
+            if (pos + cnt > total) { std::fclose(f); return -6; }
+            if (!read_at(f, (long)info.strip_offsets[s], gather + pos, cnt)) {
+                std::fclose(f); return -6;
+            }
             pos += cnt;
         } else if (info.compression == 8 || info.compression == 32946) {
+            strip.resize(cnt);
+            if (!read_at(f, (long)info.strip_offsets[s], strip.data(), cnt)) {
+                std::fclose(f); return -6;
+            }
             size_t written = 0;
-            if (!inflate_strip(src, cnt, raw.data() + pos, total - pos, &written)) return -7;
+            if (!inflate_into(strip.data(), cnt, gather + pos, total - pos,
+                              &written)) { std::fclose(f); return -7; }
             pos += written;
         } else {
+            std::fclose(f);
             return -8;  // unsupported compression -> python fallback
         }
     }
+    std::fclose(f);
 
-    size_t n = (size_t)info.height * info.width * info.spp;
+    if (direct) return 0;
     if (info.sample_format == 3 && info.bits == 32) {
-        const uint32_t* p = reinterpret_cast<const uint32_t*>(raw.data());
-        for (size_t i = 0; i < n; ++i) {
-            uint32_t v = r.big_endian ? bswap(p[i]) : p[i];
-            float fv;
-            std::memcpy(&fv, &v, 4);
-            out[i] = fv;
+        if (!info.big_endian) {
+            std::memcpy(out, raw.data(), n * 4);
+        } else {
+            const uint32_t* p = reinterpret_cast<const uint32_t*>(raw.data());
+            uint32_t* o = reinterpret_cast<uint32_t*>(out);
+            for (size_t i = 0; i < n; ++i) o[i] = bswap32(p[i]);
         }
     } else if (info.sample_format != 3 && info.bits == 8) {
-        for (size_t i = 0; i < n; ++i) out[i] = (float)raw[i];
+        const uint8_t* p = raw.data();
+        for (size_t i = 0; i < n; ++i) out[i] = (float)p[i];
     } else if (info.sample_format != 3 && info.bits == 16) {
         const uint16_t* p = reinterpret_cast<const uint16_t*>(raw.data());
-        for (size_t i = 0; i < n; ++i) out[i] = (float)(r.big_endian ? bswap(p[i]) : p[i]);
+        if (!info.big_endian) {
+            for (size_t i = 0; i < n; ++i) out[i] = (float)p[i];
+        } else {
+            for (size_t i = 0; i < n; ++i)
+                out[i] = (float)(uint16_t)((p[i] >> 8) | (p[i] << 8));
+        }
     } else {
         return -9;
     }
@@ -196,26 +234,31 @@ int floodgan_decode_batch(const char* paths, int64_t count, float* out, int64_t 
         files.emplace_back(p);
         p += files.back().size() + 1;
     }
-    std::vector<int> rcs(count, 0);
+    std::vector<int> rcs((size_t)count, 0);
     int64_t nt = num_threads < 1 ? 1 : num_threads;
-    std::vector<std::thread> pool;
-    std::atomic<int64_t>* next = new std::atomic<int64_t>(0);
+    if (nt > count) nt = count;
     int64_t plane = h * w * c;
-    for (int64_t t = 0; t < nt; ++t) {
-        pool.emplace_back([&, t]() {
-            for (;;) {
-                int64_t i = next->fetch_add(1);
-                if (i >= count) break;
-                rcs[i] = decode_one(files[i], out + i * plane, h, w, c);
-            }
-        });
+    if (nt == 1) {
+        for (int64_t i = 0; i < count; ++i)
+            rcs[(size_t)i] = decode_one(files[(size_t)i], out + i * plane, h, w, c);
+    } else {
+        std::atomic<int64_t> next(0);
+        std::vector<std::thread> pool;
+        for (int64_t t = 0; t < nt; ++t) {
+            pool.emplace_back([&]() {
+                for (;;) {
+                    int64_t i = next.fetch_add(1);
+                    if (i >= count) break;
+                    rcs[(size_t)i] = decode_one(files[(size_t)i], out + i * plane, h, w, c);
+                }
+            });
+        }
+        for (auto& th : pool) th.join();
     }
-    for (auto& th : pool) th.join();
-    delete next;
     for (int64_t i = 0; i < count; ++i)
-        if (rcs[i] != 0) return rcs[i];
+        if (rcs[(size_t)i] != 0) return rcs[(size_t)i];
     return 0;
 }
 
-int floodgan_native_version() { return 1; }
+int floodgan_native_version() { return 2; }
 }

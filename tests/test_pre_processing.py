@@ -118,3 +118,14 @@ def test_geotiff_tags_roundtrip(tmp_path, rng):
     assert tags[256][0] == 8 and tags[257][0] == 8
     with pytest.raises(ValueError):
         tiff.geotransform(p)
+
+
+def test_flow_crop_script(tmp_path):
+    extents = {"img_a": (-95.5, 29.5, -95.4, 29.6)}
+    p = sc.emit_flow_crop_script(
+        extents, {"harvey": "flow_harvey.tif"}, {"img_a": "harvey"},
+        str(tmp_path), str(tmp_path / "f.sh"),
+    )
+    content = open(p).read()
+    assert "gdal_translate -projwin -95.5 29.6 -95.4 29.5" in content
+    assert "flow_harvey.tif" in content
