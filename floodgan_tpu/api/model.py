@@ -175,6 +175,8 @@ class Model:
                 raise ValueError("batch_size must be divisible by num_data_devices")
             self.mesh = make_mesh(num_data_devices)
             self.state = replicate_tree(self.state, self.mesh)
+            # a remainder batch cannot shard evenly over the mesh
+            self.train_loader.drop_remainder = True
 
         if self.verbose and self.training_model:
             self.print_training_setup()

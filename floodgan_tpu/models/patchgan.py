@@ -30,16 +30,17 @@ class PatchGANDiscriminator(nn.Module):
     def __call__(self, x):
         use_bias = self.norm != "batch"
 
-        def normed(h, name):
+        def normed_lrelu(h, name):
             if self.norm == "batch":
-                return TorchBatchNorm(name=name)(h)
-            return ops.instance_norm(h)
+                return ops.leaky_relu(TorchBatchNorm(name=name)(h), 0.2)
+            # fused IN + leaky-relu (Pallas on TPU)
+            return ops.instance_norm_act(h, relu=True, negative_slope=0.2)
 
         h = TorchConv(64, 4, 2, 1, name="conv0")(x)
         h = ops.leaky_relu(h, 0.2)
         for n, chl in enumerate([128, 256], start=1):
             h = TorchConv(chl, 4, 2, 1, use_bias=use_bias, name=f"conv{n}")(h)
-            h = ops.leaky_relu(normed(h, f"norm{n}"), 0.2)
+            h = normed_lrelu(h, f"norm{n}")
         h = TorchConv(512, 4, 1, 1, use_bias=use_bias, name="conv3")(h)
-        h = ops.leaky_relu(normed(h, "norm3"), 0.2)
+        h = normed_lrelu(h, "norm3")
         return TorchConv(1, 4, 1, 1, name="conv4")(h)

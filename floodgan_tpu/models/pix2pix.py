@@ -56,6 +56,13 @@ class _UNet8(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if x.shape[1] % 256 or x.shape[2] % 256:
+            raise ValueError(
+                f"Pix2Pix U-Net needs spatial dims divisible by 256 (8 "
+                f"stride-2 levels); got {x.shape[1]}x{x.shape[2]}.  Use "
+                f"--resize 256/512 (optionally with --crop) like the "
+                f"reference configurations."
+            )
         # --- down path ---
         skips = []
         h = TorchConv(64, 4, 2, 1, use_bias=False, name="down0_conv")(x)

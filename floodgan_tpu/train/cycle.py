@@ -110,6 +110,7 @@ class CycleTrainer:
         cfg: TrainConfig = TrainConfig(),
         add_identity_loss: bool = False,
         compute_dtype: str = "float32",
+        remat: bool = False,
     ):
         self.model = model
         self.cfg = cfg
@@ -123,6 +124,10 @@ class CycleTrainer:
         # Mixed precision: f32 master params, bf16 activations/flops on the
         # MXU, f32 norm statistics and losses (ops upcast internally).
         self.compute_dtype = jnp.dtype(compute_dtype)
+        # Rematerialise generator forwards in the backward pass (the cycle
+        # step holds 4-6 generator graphs live; remat trades recompute for
+        # O(#forwards) activation memory).
+        self.remat = remat
 
     def _cast(self, tree):
         if self.compute_dtype == jnp.float32:
@@ -130,11 +135,16 @@ class CycleTrainer:
         return jax.tree_util.tree_map(lambda p: p.astype(self.compute_dtype), tree)
 
     def gen_apply(self, params, x):
-        out = self.generator.apply(
-            {"params": self._cast(params)}, x.astype(self.compute_dtype)
-        )
-        out = out[0] if self.returns_mask else out
-        return out.astype(jnp.float32)
+        def fwd(p, xx):
+            out = self.generator.apply(
+                {"params": self._cast(p)}, xx.astype(self.compute_dtype)
+            )
+            out = out[0] if self.returns_mask else out
+            return out.astype(jnp.float32)
+
+        if self.remat:
+            return jax.checkpoint(fwd)(params, x)
+        return fwd(params, x)
 
     def disc_apply(self, params, x):
         return self.discriminator.apply(

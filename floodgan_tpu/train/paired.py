@@ -54,6 +54,7 @@ class PairedTrainer:
         cfg: TrainConfig = TrainConfig(),
         dropout_rate: float = 0.5,
         compute_dtype: str = "float32",
+        remat: bool = False,
     ):
         self.model = model
         self.cfg = cfg
@@ -65,6 +66,10 @@ class PairedTrainer:
         # Mixed precision: f32 master params, bf16 activations/flops on the
         # MXU, f32 norm statistics and losses (ops upcast internally).
         self.compute_dtype = jnp.dtype(compute_dtype)
+        # Rematerialisation: recompute generator activations in the backward
+        # pass (trades ~1 extra forward for O(depth) activation memory —
+        # enables large batches at 512^2 in 16GB HBM).
+        self.remat = remat
 
     def _cast(self, tree):
         if self.compute_dtype == jnp.float32:
@@ -106,9 +111,10 @@ class PairedTrainer:
     ) -> Tuple[PairedState, Dict[str, jax.Array]]:
         cfg = self.cfg
 
-        synthetic, gen_vjp = jax.vjp(
-            lambda gp: self.gen_apply(gp, input_stack, rng), state.gen_params
-        )
+        gen_fwd = lambda gp: self.gen_apply(gp, input_stack, rng)
+        if self.remat:
+            gen_fwd = jax.checkpoint(gen_fwd)
+        synthetic, gen_vjp = jax.vjp(gen_fwd, state.gen_params)
         concat_real = jnp.concatenate([input_stack, output_image], axis=-1)
         concat_syn = jnp.concatenate(
             [input_stack, jax.lax.stop_gradient(synthetic)], axis=-1

@@ -225,3 +225,25 @@ def test_resume_bitwise_equivalence(flood_fixture):
     b = _jax.tree_util.tree_leaves(resumed.state.gen_params)
     for xa, xb in zip(a, b):
         _np.testing.assert_array_equal(_np.asarray(xa), _np.asarray(xb))
+
+
+def test_model_data_parallel_training(flood_fixture):
+    """Model-level DP: batch 4 sharded over a 4-device mesh trains and
+    matches the single-device loss trajectory."""
+    from floodgan_tpu.api import Model
+
+    data_path, meta_dir = flood_fixture
+    kwargs = dict(
+        model="PairedAttention", dataset_subset="usa", dataset_dem="same",
+        data_path=data_path, num_epochs=1, topography="all", resize=None,
+        metadata_dir=meta_dir, batch_size=4,
+    )
+    single = Model(num_data_devices=1, **kwargs)
+    single.train_loader.drop_remainder = True  # align with the DP loader
+    single.train_paired()
+    dp = Model(num_data_devices=4, **kwargs)
+    dp.train_paired()
+    for k in single.all_losses:
+        np.testing.assert_allclose(
+            single.all_losses[k], dp.all_losses[k], rtol=1e-4, atol=1e-5, err_msg=k
+        )
