@@ -1,0 +1,79 @@
+"""Small utilities: profiling helpers, feature flags, RNG streams, config."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from floodgan_tpu.core.config import (
+    ModelConfig,
+    TrainConfig,
+    lambda_rule,
+    model_is_attention,
+    model_is_cycle,
+    prettify_model_name,
+)
+from floodgan_tpu.core.flags import use_pallas
+from floodgan_tpu.core.rng import RngStreams
+from floodgan_tpu.utils.profiling import StepTimer
+
+
+def test_lambda_rule_schedule():
+    # constant for the first half, linear decay after (reference
+    # models/model.py:175-181); epoch arg is the 0-based scheduler counter.
+    n = 200
+    assert lambda_rule(0, n) == 1.0
+    assert lambda_rule(99, n) == 1.0
+    assert lambda_rule(100, n) < 1.0
+    np.testing.assert_allclose(lambda_rule(199, n), 1.0 - 100 / 101.0)
+    # the reference's formula never quite reaches zero
+    assert 0.0 < lambda_rule(199, n) < 0.02
+
+
+def test_model_config_validation():
+    cfg = ModelConfig(model="Pix2Pix", topography="ALL")
+    assert cfg.model == "pix2pix" and cfg.topography == "all"
+    assert cfg.input_channels == 9
+    assert ModelConfig(topography=None).input_channels == 3
+    assert ModelConfig(topography="none").topography is None
+    with pytest.raises(NotImplementedError):
+        ModelConfig(model="stylegan")
+    with pytest.raises(NotImplementedError):
+        ModelConfig(topography="bathymetry")
+
+
+def test_capability_tables():
+    assert model_is_cycle("CycleGAN") and model_is_cycle("attentiongan")
+    assert not model_is_cycle("pix2pix") and not model_is_cycle("PairedAttention")
+    assert model_is_attention("pairedattention") and not model_is_attention("pix2pix")
+    assert prettify_model_name("cyclegan") == "CycleGAN"
+
+
+def test_rng_streams_deterministic():
+    a, b = RngStreams(47), RngStreams(47)
+    assert jax.random.key_data(a.init("model")).tolist() == jax.random.key_data(b.init("model")).tolist()
+    assert jax.random.key_data(a.epoch(3)).tolist() == jax.random.key_data(b.epoch(3)).tolist()
+    assert jax.random.key_data(a.inference()).tolist() == jax.random.key_data(b.inference()).tolist()
+    c = RngStreams(48)
+    assert jax.random.key_data(a.init("model")).tolist() != jax.random.key_data(c.init("model")).tolist()
+    # epoch stream matches torch.manual_seed(epoch) semantics: seed-independent
+    assert jax.random.key_data(a.epoch(5)).tolist() == jax.random.key_data(c.epoch(5)).tolist()
+
+
+def test_use_pallas_env_override(monkeypatch):
+    monkeypatch.setenv("FLOODGAN_PALLAS", "1")
+    assert use_pallas()
+    monkeypatch.setenv("FLOODGAN_PALLAS", "0")
+    assert not use_pallas()
+    monkeypatch.delenv("FLOODGAN_PALLAS")
+    assert use_pallas() is False  # CPU test backend
+
+
+def test_step_timer_warmup_discard():
+    t = StepTimer(warmup=2)
+    for v in [1.0, 1.0, 0.1, 0.1]:
+        t.samples.append(v)
+    np.testing.assert_allclose(t.mean, 0.1)
+    np.testing.assert_allclose(t.steps_per_sec, 10.0)
