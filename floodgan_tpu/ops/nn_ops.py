@@ -54,30 +54,113 @@ def conv_transpose2d(
     stride: int = 2,
     padding: int = 1,
     output_padding: int = 0,
+    method: Optional[str] = None,  # None=auto | "dilated" | "subpixel"
 ) -> jax.Array:
-    """torch.nn.ConvTranspose2d twin via the input-dilated-conv identity.
+    """torch.nn.ConvTranspose2d twin.
 
     ``w`` is (kh, kw, C_in, C_out); torch's (C_in, C_out, kh, kw) maps via
-    ``w_torch.permute(2, 3, 0, 1)``.  ConvTranspose(x, W, s, p, op) ==
-    cross-correlate(dilate(x, s) padded with (k-1-p, k-1-p+op),
-    spatial-flip(W)).  Output size: (in-1)*s - 2p + k + op, identical to
-    torch (reference generators use k4 s2 p1 and k3 s2 p1 op1, both 2x).
+    ``w_torch.permute(2, 3, 0, 1)``.  Output size: (in-1)*s - 2p + k + op,
+    identical to torch (reference generators use k4 s2 p1 and
+    k3 s2 p1 op1, both 2x).
+
+    Two lowerings, numerically identical:
+    - "dilated": cross-correlate(dilate(x, s) padded with
+      (k-1-p, k-1-p+op), spatial-flip(W)) — one lhs-dilated XLA conv.
+    - "subpixel": decompose the stride-2 transpose into s*s ordinary
+      stride-1 convs (one per output phase) + pixel-shuffle interleave;
+      every conv is dense on the MXU with no dilation (often faster on
+      TPU).  Auto-selected policy via FLOODGAN_SUBPIXEL_CONVT.
     """
-    kh, kw = w.shape[0], w.shape[1]
-    out = lax.conv_general_dilated(
-        x,
-        jnp.flip(w, (0, 1)),
-        window_strides=(1, 1),
-        padding=(
-            (kh - 1 - padding, kh - 1 - padding + output_padding),
-            (kw - 1 - padding, kw - 1 - padding + output_padding),
-        ),
-        lhs_dilation=(stride, stride),
-        dimension_numbers=DIMSPEC,
-    )
+    if method is None:
+        import os
+
+        method = "subpixel" if os.environ.get("FLOODGAN_SUBPIXEL_CONVT") == "1" else "dilated"
+    if method == "subpixel" and stride == 2:
+        out = _conv_transpose_subpixel2(x, w, padding, output_padding)
+    else:
+        kh, kw = w.shape[0], w.shape[1]
+        out = lax.conv_general_dilated(
+            x,
+            jnp.flip(w, (0, 1)),
+            window_strides=(1, 1),
+            padding=(
+                (kh - 1 - padding, kh - 1 - padding + output_padding),
+                (kw - 1 - padding, kw - 1 - padding + output_padding),
+            ),
+            lhs_dilation=(stride, stride),
+            dimension_numbers=DIMSPEC,
+        )
     if b is not None:
         out = out + b
     return out
+
+
+def _conv_transpose_subpixel2(
+    x: jax.Array, w: jax.Array, padding: int, output_padding: int
+) -> jax.Array:
+    """Stride-2 ConvTranspose as 4 phase convs + interleave.
+
+    With the dilated formulation, output position m draws from flipped-W
+    taps at dilated-input offsets; splitting m by parity in each spatial
+    dim yields, per phase (r, c) ∈ {0,1}², an ordinary stride-1 conv whose
+    kernel is the (flipped) W sub-sampled at alternating taps.  The phase
+    results interleave back with a reshape (pixel shuffle).
+    """
+    kh, kw, cin, cout = w.shape
+    wf = jnp.flip(w, (0, 1))
+    n, h, wdt, _ = x.shape
+    pad_lo_h = kh - 1 - padding
+    pad_hi_h = kh - 1 - padding + output_padding
+    # dilated input has 2n-1 samples; out = (2n-1) + pads - k + 1
+    out_h = (2 * h - 1) + pad_lo_h + pad_hi_h - kh + 1
+    out_w = (2 * wdt - 1) + pad_lo_h + pad_hi_h - kw + 1
+
+    phases = {}
+    for r in (0, 1):
+        for c in (0, 1):
+            # dilated-domain positions congruent to (r, c) mod 2: the taps
+            # hitting real input samples are those where (m + j - pad_lo)
+            # is even; sub-sample the flipped kernel accordingly.
+            taps_h = [j for j in range(kh) if (r + j - pad_lo_h) % 2 == 0]
+            taps_w = [j for j in range(kw) if (c + j - pad_lo_h) % 2 == 0]
+            sub = wf[jnp.array(taps_h)][:, jnp.array(taps_w)]
+            # input start index for tap j at output phase position t:
+            # i = (m + j - pad_lo)/2 with m = 2t + r
+            sh = (r + taps_h[0] - pad_lo_h) // 2
+            sw = (c + taps_w[0] - pad_lo_h) // 2
+            ph_h = (out_h - r + 1) // 2
+            ph_w = (out_w - c + 1) // 2
+            # conv over x with left-pad so i may start negative
+            lo_h = max(0, -sh)
+            lo_w = max(0, -sw)
+            need_h = sh + ph_h - 1 + len(taps_h) - 1
+            need_w = sw + ph_w - 1 + len(taps_w) - 1
+            hi_h = max(0, need_h - (h - 1))
+            hi_w = max(0, need_w - (wdt - 1))
+            xp = jnp.pad(x, ((0, 0), (lo_h, hi_h), (lo_w, hi_w), (0, 0)))
+            xs = xp[:, sh + lo_h : sh + lo_h + ph_h + len(taps_h) - 1,
+                    sw + lo_w : sw + lo_w + ph_w + len(taps_w) - 1]
+            phases[(r, c)] = lax.conv_general_dilated(
+                xs, sub, (1, 1), "VALID", dimension_numbers=DIMSPEC
+            )
+
+    # interleave: out[2t+r, 2u+c] = phases[(r,c)][t,u]
+    eh = (out_h + 1) // 2
+    ew = (out_w + 1) // 2
+
+    def padded(p, r, c):
+        ph, pw = p.shape[1], p.shape[2]
+        return jnp.pad(p, ((0, 0), (0, eh - ph), (0, ew - pw), (0, 0)))
+
+    grid = jnp.stack(
+        [
+            jnp.stack([padded(phases[(r, 0)], r, 0), padded(phases[(r, 1)], r, 1)], axis=3)
+            for r in (0, 1)
+        ],
+        axis=2,
+    )  # (n, eh, 2, ew, 2, cout)
+    out = grid.reshape(n, 2 * eh, 2 * ew, cout)
+    return out[:, :out_h, :out_w]
 
 
 def batch_norm(

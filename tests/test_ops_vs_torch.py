@@ -142,3 +142,17 @@ def test_dropout_scaling():
     vals = np.unique(np.asarray(out))
     assert set(np.round(vals, 5)) <= {0.0, 2.0}
     assert abs(float(out.mean()) - 1.0) < 0.05
+
+
+@pytest.mark.parametrize(
+    "k,s,p,op,hin",
+    [(4, 2, 1, 0, 8), (3, 2, 1, 1, 8), (2, 2, 0, 0, 8), (4, 2, 1, 0, 7), (3, 2, 1, 1, 5)],
+)
+def test_conv_transpose_subpixel_equals_dilated(rng, k, s, p, op, hin):
+    """The subpixel (phase-decomposed) lowering must match the dilated
+    formulation (and therefore torch) for every reference convT config."""
+    x = jnp.asarray(rng.standard_normal((2, hin, hin, 6), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((k, k, 6, 5), dtype=np.float32))
+    a = ops.conv_transpose2d(x, w, stride=s, padding=p, output_padding=op, method="dilated")
+    b = ops.conv_transpose2d(x, w, stride=s, padding=p, output_padding=op, method="subpixel")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
