@@ -43,6 +43,12 @@ def main() -> None:
 
     if not args.pallas:
         os.environ["FLOODGAN_PALLAS"] = "0"
+    # Persistent compilation cache: repeat bench runs skip the multi-minute
+    # XLA compile (honored by local runtimes; harmless where it is not).
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
 
     import jax
     import jax.numpy as jnp
