@@ -100,10 +100,13 @@ def test_evaluate_flow(flood_fixture, masks_fixture):
     data_path, meta_dir = flood_fixture
     mask_path, mask_meta = masks_fixture
 
+    # resize=256 without crop: pix2pix needs 256-divisible spatial dims
+    # (crop=4 at resize=256 would give 128^2, which crashes the reference's
+    # torch net too).
     train_model = Model(
         model="Pix2Pix", dataset_subset="usa", dataset_dem="same",
         data_path=data_path, num_epochs=1, topography=None, resize=256,
-        crop=4, save_model_interval=1, metadata_dir=meta_dir,
+        crop=None, save_model_interval=1, metadata_dir=meta_dir,
     )
     train_model.train_paired()
     gan_ckpt = glob.glob(f"{data_path}/models/Pix2Pix_*.ckpt")[0]
@@ -118,7 +121,7 @@ def test_evaluate_flow(flood_fixture, masks_fixture):
     ev = Model(
         dataset_subset="usa", dataset_dem="same", data_path=data_path,
         load_pretrained_model=True, pretrained_model_path=gan_ckpt,
-        training_model=False, resize=256, crop=4, metadata_dir=meta_dir,
+        training_model=False, resize=256, crop=None, metadata_dir=meta_dir,
         verbose=True,
     )
     assert ev.model == "pix2pix"
@@ -131,8 +134,8 @@ def test_evaluate_flow(flood_fixture, masks_fixture):
     assert glob.glob(f"{data_path}/metrics/Pix2Pix_*.csv")
 
     img = ev.train_loader.dataset.samples[0].image_name
-    ev.plot_image(image_name=img, plot_single_image="output", plot_image_set=True, crop_index=1)
-    assert glob.glob(f"{data_path}/images/Pix2Pix_{img}_1_*.png")
+    ev.plot_image(image_name=img, plot_single_image="output", plot_image_set=True)
+    assert glob.glob(f"{data_path}/images/Pix2Pix_{img}_*.png")
 
 
 def test_compare_two_models(flood_fixture, masks_fixture):
@@ -247,3 +250,50 @@ def test_model_data_parallel_training(flood_fixture):
         np.testing.assert_allclose(
             single.all_losses[k], dp.all_losses[k], rtol=1e-4, atol=1e-5, err_msg=k
         )
+
+
+def test_cli_evaluate_and_segment_and_compare(flood_fixture, masks_fixture):
+    """Drive the three remaining CLI mains end-to-end on the fixture."""
+    from floodgan_tpu.cli.train import main as train_main
+    from floodgan_tpu.cli.evaluate import main as evaluate_main
+    from floodgan_tpu.cli.segment import main as segment_main
+    from floodgan_tpu.cli.compare import main as compare_main
+
+    data_path, meta_dir = flood_fixture
+    mask_path, mask_meta = masks_fixture
+
+    train_main([
+        "--model=AttentionGAN", "--dataset_subset=usa", "--dataset_dem=same",
+        f"--data_path={data_path}", "--num_epochs=1", "--topography=all",
+        "--save_model_interval=1", f"--metadata_dir={meta_dir}",
+    ])
+    gan_ckpt = sorted(glob.glob(f"{data_path}/models/AttentionGAN_*epoch1*.ckpt"))[-1]
+
+    segment_main([
+        "--train", "--dataset_subset=usa", f"--data_path={mask_path}",
+        "--num_epochs=1", "--save_model_interval=1", f"--metadata_dir={mask_meta}",
+    ])
+    seg_ckpt = sorted(glob.glob(f"{mask_path}/models/SegmentationModel_*.ckpt"))[-1]
+
+    # segment eval mode (plot_loss + samples + metrics)
+    segment_main([
+        "--dataset_subset=usa", f"--data_path={mask_path}",
+        f"--pretrained_model_path={seg_ckpt}", f"--metadata_dir={mask_meta}",
+    ])
+
+    evaluate_main([
+        "--model=AttentionGAN", "--dataset_subset=usa", "--dataset_dem=same",
+        f"--data_path={data_path}", f"--pretrained_model_path={gan_ckpt}",
+        "--plot_losses", "--calculate_metrics",
+        f"--segmentation_model_path={seg_ckpt}", f"--metadata_dir={meta_dir}",
+    ])
+    assert glob.glob(f"{data_path}/metrics/AttentionGAN_*.csv")
+
+    compare_main([
+        "--compare=two", "--dataset_subset=usa", "--dataset_dem=same",
+        f"--data_path={data_path}", "--topography=all",
+        f"--model_1_path={gan_ckpt}", f"--model_2_path={gan_ckpt}",
+        f"--segmentation_model_path={seg_ckpt}", "--calculate_metrics",
+        f"--metadata_dir={meta_dir}",
+    ])
+    assert glob.glob(f"{data_path}/metrics/two_comparison_*.csv")
