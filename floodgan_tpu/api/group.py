@@ -12,7 +12,6 @@ from collections import defaultdict
 from typing import Dict, List, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 

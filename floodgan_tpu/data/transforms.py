@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from floodgan_tpu.core.config import TOPOGRAPHY_CHANNELS
 from floodgan_tpu.ops.resize import resize_bicubic_antialias, shorter_edge_size
 
 

@@ -21,8 +21,6 @@ Dropout is applied to the up-path output *before* the skip concat
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax.numpy as jnp
 

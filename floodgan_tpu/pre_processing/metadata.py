@@ -13,7 +13,6 @@ from __future__ import annotations
 import os
 from typing import List, Optional
 
-import numpy as np
 import pandas as pd
 
 from floodgan_tpu.data import tiff

@@ -10,7 +10,7 @@ the produced scripts on a machine with GDAL/osmium installed.
 from __future__ import annotations
 
 import os
-from typing import Iterable, Mapping, Optional
+from typing import Iterable, Mapping
 
 OPENTOPO_DATASETS = {"01m": "USGS1m", "10m": "USGS10m", "30m": "COP30"}
 

@@ -13,8 +13,6 @@ the whole runtime (SURVEY.md §2.5):
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
-
 import numpy as np
 
 from floodgan_tpu.data import tiff

@@ -20,7 +20,7 @@ Loss scalars are returned with the reference's key names (:648-651).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import flax.struct
 import jax

@@ -16,7 +16,7 @@ full-architecture parity tests in tests/test_models_vs_torch.py.
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, Iterable, List, Tuple
 
 import numpy as np
 
