@@ -30,8 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from floodgan_tpu import ops
-from floodgan_tpu.models.cyclegan import ResnetBlock
 from floodgan_tpu.models.layers import TorchConv, TorchConvTranspose
+from floodgan_tpu.models.trunk import ResnetTrunk
 
 
 class AttentionGenerator(nn.Module):
@@ -47,8 +47,7 @@ class AttentionGenerator(nn.Module):
         h = ops.instance_norm_act(h, relu=True)
         h = TorchConv(256, 3, 2, 1, name="conv3")(h)
         h = ops.instance_norm_act(h, relu=True)
-        for i in range(9):
-            h = ResnetBlock(256, name=f"res{i}")(h)
+        h = ResnetTrunk(256, 9, name="trunk")(h)
 
         # --- content head: 9 RGB content images ---
         c = TorchConvTranspose(128, 3, 2, 1, output_padding=1, name="deconv1_content")(h)

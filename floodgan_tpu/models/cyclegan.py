@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from floodgan_tpu import ops
 from floodgan_tpu.models.layers import TorchConv, TorchConvTranspose
+from floodgan_tpu.models.trunk import ResnetTrunk
 
 
 class ResnetBlock(nn.Module):
@@ -43,8 +44,7 @@ class CycleGANGenerator(nn.Module):
         for i in range(2):
             h = TorchConv(64 * 2 ** (i + 1), 3, 2, 1, name=f"down{i + 1}")(h)
             h = ops.instance_norm_act(h, relu=True)
-        for i in range(9):
-            h = ResnetBlock(256, name=f"res{i}")(h)
+        h = ResnetTrunk(256, 9, name="trunk")(h)
         for i in range(2):
             h = TorchConvTranspose(
                 64 * 2 ** (1 - i), 3, 2, 1, output_padding=1, name=f"up{i + 1}"

@@ -74,7 +74,7 @@ def _adam_moments(opt_state: Dict, spec: ti.Spec, offset: int = 0):
     return mus, nus, count
 
 
-def _moment_tree(spec: ti.Spec, moments, params_tree):
+def _moment_tree(spec: ti.Spec, moments, params_tree, model: str = ""):
     """Convert ordered torch moments with the weight-layout spec; missing
     entries (unstepped params) become zeros like the param leaf."""
     if all(m is None for m in moments):
@@ -84,9 +84,10 @@ def _moment_tree(spec: ti.Spec, moments, params_tree):
         if m is None:
             raise ValueError(f"optimizer state missing for {path}")
         filled.append(("", m))
-    return jax.tree_util.tree_map(
-        jnp.asarray, ti.params_from_torch(spec, filled)
-    )
+    tree = jax.tree_util.tree_map(jnp.asarray, ti.params_from_torch(spec, filled))
+    if model:
+        tree = ti.finalize_generator_params(model, tree)
+    return tree
 
 
 def migrate_gan(
@@ -120,9 +121,11 @@ def migrate_gan(
 
     def params_of(key):
         sd = saved[key]
-        spec = gen_spec if "generator" in key else disc_spec
+        is_gen = "generator" in key
+        spec = gen_spec if is_gen else disc_spec
         tensors = _ordered_tensors(sd, _param_keys(sd))
-        return jax.tree_util.tree_map(jnp.asarray, _tree_from_spec(spec, tensors))
+        tree = jax.tree_util.tree_map(jnp.asarray, _tree_from_spec(spec, tensors))
+        return ti.finalize_generator_params(model, tree) if is_gen else tree
 
     if model_is_cycle(model):
         from floodgan_tpu.train.cycle import CycleState, CycleTrainer, ImageBuffer
@@ -143,10 +146,10 @@ def migrate_gan(
         d_mu_pre, d_nu_pre, _ = _adam_moments(saved["optimizer_discriminator"], disc_spec, len(disc_spec))
         gen_opt = optax.ScaleByAdamState(
             count=jnp.int32(g_count),
-            mu={"ab": _moment_tree(gen_spec, g_mu_ab, gen_params["ab"]),
-                "ba": _moment_tree(gen_spec, g_mu_ba, gen_params["ba"])},
-            nu={"ab": _moment_tree(gen_spec, g_nu_ab, gen_params["ab"]),
-                "ba": _moment_tree(gen_spec, g_nu_ba, gen_params["ba"])},
+            mu={"ab": _moment_tree(gen_spec, g_mu_ab, gen_params["ab"], model),
+                "ba": _moment_tree(gen_spec, g_mu_ba, gen_params["ba"], model)},
+            nu={"ab": _moment_tree(gen_spec, g_nu_ab, gen_params["ab"], model),
+                "ba": _moment_tree(gen_spec, g_nu_ba, gen_params["ba"], model)},
         )
         disc_opt = optax.ScaleByAdamState(
             count=jnp.int32(d_count),
@@ -176,8 +179,8 @@ def migrate_gan(
             disc_params=disc_params,
             gen_opt=optax.ScaleByAdamState(
                 count=jnp.int32(g_count),
-                mu=_moment_tree(gen_spec, g_mu, gen_params),
-                nu=_moment_tree(gen_spec, g_nu, gen_params),
+                mu=_moment_tree(gen_spec, g_mu, gen_params, model),
+                nu=_moment_tree(gen_spec, g_nu, gen_params, model),
             ),
             disc_opt=optax.ScaleByAdamState(
                 count=jnp.int32(d_count),

@@ -122,6 +122,20 @@ GENERATOR_SPECS = {
     "pairedattention": attention_generator_spec,
 }
 
+# Architectures whose per-block res0..res8 parameters are stored rolled
+# (models/trunk.py) in this framework's parameter trees.
+TRUNKED_GENERATORS = ("cyclegan", "attentiongan", "pairedattention")
+
+
+def finalize_generator_params(model: str, tree: Dict) -> Dict:
+    """Convert a spec-layout tree into the framework's canonical layout
+    (rolls the residual blocks into the scanned trunk where applicable)."""
+    from floodgan_tpu.models.trunk import roll_resnet_params
+
+    if model.lower() in TRUNKED_GENERATORS:
+        return roll_resnet_params(tree)
+    return tree
+
 
 def _convert(kind: str, array: np.ndarray) -> np.ndarray:
     # Copy: torch tensors' .numpy() shares memory with the live module, and

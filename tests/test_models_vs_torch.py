@@ -50,12 +50,14 @@ def _disable_dropout(m):
     return m
 
 
-def _run_pair(torch_model, flax_model, spec, x_nchw, atol):
+def _run_pair(torch_model, flax_model, spec, x_nchw, atol, model_name=""):
     torch_model.train()
     _disable_dropout(torch_model)
     with torch.no_grad():
         ref_out = torch_model(torch.from_numpy(x_nchw))
     params = ti.params_from_torch(spec, list(torch_model.named_parameters()))
+    if model_name:
+        params = ti.finalize_generator_params(model_name, params)
     x = jnp.asarray(x_nchw.transpose(0, 2, 3, 1))
     out = flax_model.apply({"params": params}, x)
     return ref_out, out, params
@@ -97,7 +99,9 @@ def test_cyclegan_generator_parity(ref, rng):
     tm = ref.CycleGANGenerator(input_channels=4)
     fm = CycleGANGenerator(input_channels=4)
     x = rng.standard_normal((1, 4, 64, 64), dtype=np.float32)
-    ref_out, out, params = _run_pair(tm, fm, ti.cyclegan_generator_spec(), x, 1e-4)
+    ref_out, out, params = _run_pair(
+        tm, fm, ti.cyclegan_generator_spec(), x, 1e-4, model_name="cyclegan"
+    )
     assert sum(p.numel() for p in tm.parameters()) == sum(
         np.size(l) for l in jax.tree_util.tree_leaves(params)
     )
@@ -116,8 +120,9 @@ def test_attention_generator_parity(ref, rng, cls_name):
     with torch.no_grad():
         ref_out = tm(torch.from_numpy(x))
     ref_mask = tm.last_attention_mask
-    params = ti.params_from_torch(
-        ti.attention_generator_spec(), list(tm.named_parameters())
+    params = ti.finalize_generator_params(
+        "attentiongan",
+        ti.params_from_torch(ti.attention_generator_spec(), list(tm.named_parameters())),
     )
     out, mask = fm.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(

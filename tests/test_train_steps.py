@@ -143,8 +143,14 @@ def test_cycle_step_matches_reference_recipe(ref, rng):
 
     trainer = CycleTrainer("cyclegan", C, add_identity_loss=True)
     gen_params = {
-        "ab": ti.params_from_torch(ti.cyclegan_generator_spec(), list(g_ab.named_parameters())),
-        "ba": ti.params_from_torch(ti.cyclegan_generator_spec(), list(g_ba.named_parameters())),
+        "ab": ti.finalize_generator_params(
+            "cyclegan",
+            ti.params_from_torch(ti.cyclegan_generator_spec(), list(g_ab.named_parameters())),
+        ),
+        "ba": ti.finalize_generator_params(
+            "cyclegan",
+            ti.params_from_torch(ti.cyclegan_generator_spec(), list(g_ba.named_parameters())),
+        ),
     }
     disc_params = {
         "pre": ti.params_from_torch(ti.patchgan_spec("instance"), list(d_pre.named_parameters())),
