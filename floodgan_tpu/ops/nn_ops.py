@@ -34,7 +34,17 @@ def conv2d(
     padding: int = 0,
 ) -> jax.Array:
     """torch.nn.Conv2d twin. ``w`` is HWIO; torch's OIHW maps via
-    ``w_torch.permute(2, 3, 1, 0)``.  Both are cross-correlations."""
+    ``w_torch.permute(2, 3, 1, 0)``.  Both are cross-correlations.
+
+    Wide-kernel convs with narrow outputs (the 7x7 -> 27/3-channel decoder
+    heads) run ~1.5x faster on TPU with the output channel dim zero-padded
+    to a full 128-lane register and sliced after (measured:
+    tools/microbench_in.py) — numerics unchanged (extra channels are
+    exact zeros and are discarded)."""
+    kh, kw, _, cout = w.shape
+    pad_cout = kh * kw >= 49 and 0 < cout < 128
+    if pad_cout:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, 128 - cout)))
     out = lax.conv_general_dilated(
         x,
         w,
@@ -42,6 +52,8 @@ def conv2d(
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=DIMSPEC,
     )
+    if pad_cout:
+        out = out[..., :cout]
     if b is not None:
         out = out + b
     return out
@@ -191,11 +203,13 @@ def batch_norm(
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """torch.nn.InstanceNorm2d twin (default affine=False,
     track_running_stats=False): per-(N, C) statistics over (H, W),
-    biased variance.  f32 statistics under the bf16 compute policy."""
+    biased variance.  f32 statistics under the bf16 compute policy;
+    E[x^2]-E[x]^2 form so both reductions fuse into one pass."""
     dt = x.dtype
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    var = jnp.var(x32, axis=(1, 2), keepdims=True)
+    meansq = jnp.mean(x32 * x32, axis=(1, 2), keepdims=True)
+    var = meansq - mean * mean
     return ((x32 - mean) * lax.rsqrt(var + eps)).astype(dt)
 
 

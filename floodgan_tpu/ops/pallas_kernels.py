@@ -234,7 +234,8 @@ def _instance_norm_jnp(x, residual, relu, eps, negative_slope=0.0):
     dt = x.dtype
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    var = jnp.var(x32, axis=(1, 2), keepdims=True)
+    meansq = jnp.mean(x32 * x32, axis=(1, 2), keepdims=True)
+    var = meansq - mean * mean
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
     if relu:
         y = jnp.where(y >= 0.0, y, y * negative_slope)
