@@ -42,7 +42,9 @@ def conv2d(
     tools/microbench_in.py) — numerics unchanged (extra channels are
     exact zeros and are discarded)."""
     kh, kw, _, cout = w.shape
-    pad_cout = kh * kw >= 49 and 0 < cout < 128
+    # only genuinely narrow outputs (27-ch content head, 3-ch RGB head):
+    # padding a 64-wide conv to 128 would double its useful FLOPs.
+    pad_cout = kh * kw >= 49 and 0 < cout < 32
     if pad_cout:
         w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, 128 - cout)))
     out = lax.conv_general_dilated(
