@@ -45,7 +45,13 @@ class ResnetTrunk(nn.Module):
             y = ops.conv2d(y, pw2, pb2)
             return ops.instance_norm_act(y, residual=h), None
 
-        out, _ = jax.lax.scan(block, x, (w1, b1, w2, b2))
+        # FLOODGAN_TRUNK_UNROLL trades compile time for runtime: 1 keeps
+        # the compiled program one block deep; num_blocks restores full
+        # unrolling (XLA can then overlap/fuse across blocks).
+        import os
+
+        unroll = int(os.environ.get("FLOODGAN_TRUNK_UNROLL", "1"))
+        out, _ = jax.lax.scan(block, x, (w1, b1, w2, b2), unroll=max(1, unroll))
         return out
 
 
