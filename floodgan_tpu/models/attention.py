@@ -36,6 +36,7 @@ from floodgan_tpu.models.trunk import ResnetTrunk
 
 class AttentionGenerator(nn.Module):
     input_channels: int = 3
+    trunk_unroll: int = 0
 
     @nn.compact
     def __call__(self, x) -> Tuple[jax.Array, jax.Array]:
@@ -47,7 +48,7 @@ class AttentionGenerator(nn.Module):
         h = ops.instance_norm_act(h, relu=True)
         h = TorchConv(256, 3, 2, 1, name="conv3")(h)
         h = ops.instance_norm_act(h, relu=True)
-        h = ResnetTrunk(256, 9, name="trunk")(h)
+        h = ResnetTrunk(256, 9, unroll=self.trunk_unroll, name="trunk")(h)
 
         # --- content head: 9 RGB content images ---
         c = TorchConvTranspose(128, 3, 2, 1, output_padding=1, name="deconv1_content")(h)

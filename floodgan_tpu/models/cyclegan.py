@@ -35,6 +35,7 @@ class ResnetBlock(nn.Module):
 
 class CycleGANGenerator(nn.Module):
     input_channels: int = 3
+    trunk_unroll: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -44,7 +45,7 @@ class CycleGANGenerator(nn.Module):
         for i in range(2):
             h = TorchConv(64 * 2 ** (i + 1), 3, 2, 1, name=f"down{i + 1}")(h)
             h = ops.instance_norm_act(h, relu=True)
-        h = ResnetTrunk(256, 9, name="trunk")(h)
+        h = ResnetTrunk(256, 9, unroll=self.trunk_unroll, name="trunk")(h)
         for i in range(2):
             h = TorchConvTranspose(
                 64 * 2 ** (1 - i), 3, 2, 1, output_padding=1, name=f"up{i + 1}"

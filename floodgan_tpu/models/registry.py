@@ -43,7 +43,14 @@ def build_generator(model: str, input_channels: int, dropout_rate: float = 0.5) 
     cls = _GENERATORS[model]
     if cls is Pix2PixGenerator:
         return cls(input_channels=input_channels, dropout_rate=dropout_rate)
-    return cls(input_channels=input_channels)
+    # Trunk unroll policy: paired strategies compile one generator graph
+    # (full unroll is affordable and ~9% faster at 512^2); cycle strategies
+    # trace 6+ generator applies per step, so keep the trunk rolled to
+    # bound compile time.  FLOODGAN_TRUNK_UNROLL overrides.
+    from floodgan_tpu.core.config import model_is_cycle
+
+    unroll = 1 if model_is_cycle(model) else 9
+    return cls(input_channels=input_channels, trunk_unroll=unroll)
 
 
 def build_discriminator(model: str) -> nn.Module:

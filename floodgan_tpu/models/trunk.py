@@ -27,6 +27,10 @@ from floodgan_tpu.models.layers import conv_init
 class ResnetTrunk(nn.Module):
     dim: int = 256
     num_blocks: int = 9
+    # scan unroll factor: 1 = minimal compile (one block deep), num_blocks
+    # = full unrolling (XLA overlaps across blocks, ~9% faster at 512^2).
+    # 0 resolves to 1; FLOODGAN_TRUNK_UNROLL overrides everything.
+    unroll: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -45,12 +49,10 @@ class ResnetTrunk(nn.Module):
             y = ops.conv2d(y, pw2, pb2)
             return ops.instance_norm_act(y, residual=h), None
 
-        # FLOODGAN_TRUNK_UNROLL trades compile time for runtime: 1 keeps
-        # the compiled program one block deep; num_blocks restores full
-        # unrolling (XLA can then overlap/fuse across blocks).
         import os
 
-        unroll = int(os.environ.get("FLOODGAN_TRUNK_UNROLL", "1"))
+        env = os.environ.get("FLOODGAN_TRUNK_UNROLL")
+        unroll = int(env) if env else (self.unroll or 1)
         out, _ = jax.lax.scan(block, x, (w1, b1, w2, b2), unroll=max(1, unroll))
         return out
 
