@@ -53,9 +53,11 @@ class UNet(nn.Module):
         ):
             in_ch = h.shape[-1]
             if self.bilinear:
+                # torch Up(in_channels=2*in_ch) uses mid = in_channels//2
+                # = in_ch (reference model_architectures.py:569)
                 h = _align_corners_bilinear_2x(h)
                 h = _up_merge(h, skip)
-                h = DoubleConv(out_ch, mid_channels=in_ch // 2, name=f"up{i}_conv")(h)
+                h = DoubleConv(out_ch, mid_channels=in_ch, name=f"up{i}_conv")(h)
             else:
                 h = TorchConvTranspose(
                     in_ch // 2, 2, 2, 0, use_bias=True, name=f"up{i}_upconv"

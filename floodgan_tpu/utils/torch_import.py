@@ -115,6 +115,17 @@ def unet_spec() -> Spec:
     return s
 
 
+def unet_bilinear_spec() -> Spec:
+    """UNet(bilinear=True): parameter-free upsampling — no upconvs."""
+    s: Spec = _double_conv("inc")
+    for i in (1, 2, 3, 4):
+        s += _double_conv(f"down{i}")
+    for i in (1, 2, 3, 4):
+        s += _double_conv(f"up{i}_conv")
+    s += [("outc/weight", CONV), ("outc/bias", VEC)]
+    return s
+
+
 GENERATOR_SPECS = {
     "pix2pix": pix2pix_generator_spec,
     "cyclegan": cyclegan_generator_spec,

@@ -156,3 +156,22 @@ def test_pix2pix_dropout_active_by_default(rng):
     y3 = fm.apply(params, x, rngs={"dropout": jax.random.key(48)})
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
     assert not np.allclose(np.asarray(y1), np.asarray(y3))
+
+
+def test_unet_bilinear_variant_parity(ref, rng):
+    """The bilinear=True U-Net (align-corners upsample + halved bottleneck,
+    reference model_architectures.py:519,:568) — unused by the reference
+    runtime but part of the inventory."""
+    torch.manual_seed(47)
+    tm = ref.UNet(bilinear=True)
+    fm = UNet(bilinear=True)
+    x = rng.standard_normal((1, 3, 64, 64), dtype=np.float32)
+    tm.train()
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(x))
+    spec = ti.unet_bilinear_spec()
+    params = ti.params_from_torch(spec, list(tm.named_parameters()))
+    out = fm.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 3, 1, 2), ref_out.numpy(), atol=3e-4
+    )

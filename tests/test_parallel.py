@@ -72,3 +72,11 @@ def test_data_parallel_matches_single_device(rng):
         np.testing.assert_allclose(
             float(m_single[k]), float(m_dp[k]), rtol=1e-5, atol=1e-6, err_msg=k
         )
+
+
+def test_dryrun_multichip_other_sizes():
+    """Mesh generality: the dry run works for 2 and 4 device meshes too."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(2)
+    ge.dryrun_multichip(4)
