@@ -281,13 +281,18 @@ def test_cli_evaluate_and_segment_and_compare(flood_fixture, masks_fixture):
         f"--pretrained_model_path={seg_ckpt}", f"--metadata_dir={mask_meta}",
     ])
 
+    from floodgan_tpu.data.splits import determine_flood_dataset
+    some_image = determine_flood_dataset("usa", "same", metadata_dir=meta_dir)["train"][0].image_name
     evaluate_main([
         "--model=AttentionGAN", "--dataset_subset=usa", "--dataset_dem=same",
         f"--data_path={data_path}", f"--pretrained_model_path={gan_ckpt}",
         "--plot_losses", "--calculate_metrics",
+        f"--image_name={some_image}", "--plot_single_image=attention mask",
+        "--plot_image_set",
         f"--segmentation_model_path={seg_ckpt}", f"--metadata_dir={meta_dir}",
     ])
     assert glob.glob(f"{data_path}/metrics/AttentionGAN_*.csv")
+    assert glob.glob(f"{data_path}/images/AttentionGAN_{some_image}_attentionMask_*.png")
 
     compare_main([
         "--compare=two", "--dataset_subset=usa", "--dataset_dem=same",
