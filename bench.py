@@ -35,6 +35,9 @@ def main() -> None:
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"],
                    help="compute dtype (f32 master params either way)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialise generator activations (needed for the "
+                        "cycle strategies at 512^2 with batch > 1)")
     p.add_argument("--pallas", action="store_true",
                    help="enable the Pallas kernel paths (default off in bench: "
                         "the tunneled backend's remote compile of Pallas calls "
@@ -63,9 +66,9 @@ def main() -> None:
     y = jnp.asarray(rng.standard_normal((args.batch, args.size, args.size, 3), dtype=np.float32))
 
     if model_is_cycle(args.model):
-        trainer = CycleTrainer(args.model, 9, compute_dtype=args.dtype)
+        trainer = CycleTrainer(args.model, 9, compute_dtype=args.dtype, remat=args.remat)
     else:
-        trainer = PairedTrainer(args.model, 9, compute_dtype=args.dtype)
+        trainer = PairedTrainer(args.model, 9, compute_dtype=args.dtype, remat=args.remat)
     state = trainer.init(jax.random.key(0), x, y)
     lr = jnp.float32(2e-4)
 
