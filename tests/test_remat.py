@@ -1,0 +1,37 @@
+"""Rematerialisation must not change training numerics — remat=True and
+remat=False produce identical step losses for both strategies."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from floodgan_tpu.train.cycle import CycleTrainer
+from floodgan_tpu.train.paired import PairedTrainer
+
+
+def _losses(trainer, x, y, key):
+    state = trainer.init(jax.random.key(5), x, y)
+    state, m1 = trainer.train_step(state, x, y, jnp.float32(2e-4), key)
+    state, m2 = trainer.train_step(state, x, y, jnp.float32(2e-4), key)
+    return {k: float(v) for k, v in {**{f"s1_{k}": v for k, v in m1.items()}, **m2}.items()}
+
+
+def test_paired_remat_equivalence(rng):
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 9), dtype=np.float32) * 0.5)
+    y = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32) * 0.5)
+    key = jax.random.key(1)
+    a = _losses(PairedTrainer("pairedattention", 9, remat=False), x, y, key)
+    b = _losses(PairedTrainer("pairedattention", 9, remat=True), x, y, key)
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_cycle_remat_equivalence(rng):
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 9), dtype=np.float32) * 0.5)
+    y = jnp.asarray(rng.standard_normal((1, 32, 32, 3), dtype=np.float32) * 0.5)
+    key = jax.random.key(2)
+    a = _losses(CycleTrainer("cyclegan", 9, remat=False), x, y, key)
+    b = _losses(CycleTrainer("cyclegan", 9, remat=True), x, y, key)
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-6, err_msg=k)
