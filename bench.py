@@ -38,6 +38,8 @@ def main() -> None:
     p.add_argument("--remat", action="store_true",
                    help="rematerialise generator activations (needed for the "
                         "cycle strategies at 512^2 with batch > 1)")
+    p.add_argument("--remat_policy", default="full", choices=["full", "convs"],
+                   help="convs = save conv outputs, recompute only norms")
     p.add_argument("--pallas", action="store_true",
                    help="enable the Pallas kernel paths (default off in bench: "
                         "the tunneled backend's remote compile of Pallas calls "
@@ -66,7 +68,8 @@ def main() -> None:
     y = jnp.asarray(rng.standard_normal((args.batch, args.size, args.size, 3), dtype=np.float32))
 
     if model_is_cycle(args.model):
-        trainer = CycleTrainer(args.model, 9, compute_dtype=args.dtype, remat=args.remat)
+        trainer = CycleTrainer(args.model, 9, compute_dtype=args.dtype,
+                               remat=args.remat, remat_policy=args.remat_policy)
     else:
         trainer = PairedTrainer(args.model, 9, compute_dtype=args.dtype, remat=args.remat)
     state = trainer.init(jax.random.key(0), x, y)

@@ -111,6 +111,7 @@ class CycleTrainer:
         add_identity_loss: bool = False,
         compute_dtype: str = "float32",
         remat: bool = False,
+        remat_policy: str = "full",  # "full" | "convs" (save conv outputs)
     ):
         self.model = model
         self.cfg = cfg
@@ -126,8 +127,12 @@ class CycleTrainer:
         self.compute_dtype = jnp.dtype(compute_dtype)
         # Rematerialise generator forwards in the backward pass (the cycle
         # step holds 4-6 generator graphs live; remat trades recompute for
-        # O(#forwards) activation memory).
+        # O(#forwards) activation memory).  policy="convs" keeps conv
+        # outputs resident and recomputes only the cheap norm/elementwise
+        # chains — far less recompute than full remat while still fitting
+        # 512^2 batch>1 in HBM.
         self.remat = remat
+        self.remat_policy = remat_policy
 
     def _cast(self, tree):
         if self.compute_dtype == jnp.float32:
@@ -143,6 +148,9 @@ class CycleTrainer:
             return out.astype(jnp.float32)
 
         if self.remat:
+            if self.remat_policy == "convs":
+                policy = lambda prim, *_, **__: prim.name == "conv_general_dilated"
+                return jax.checkpoint(fwd, policy=policy)(params, x)
             return jax.checkpoint(fwd)(params, x)
         return fwd(params, x)
 
