@@ -38,7 +38,7 @@ def main() -> None:
     p.add_argument("--remat", action="store_true",
                    help="rematerialise generator activations (needed for the "
                         "cycle strategies at 512^2 with batch > 1)")
-    p.add_argument("--remat_policy", default="full", choices=["full", "convs"],
+    p.add_argument("--remat_policy", default="convs", choices=["full", "convs"],
                    help="convs = save conv outputs, recompute only norms")
     p.add_argument("--pallas", action="store_true",
                    help="enable the Pallas kernel paths (default off in bench: "

@@ -111,7 +111,7 @@ class CycleTrainer:
         add_identity_loss: bool = False,
         compute_dtype: str = "float32",
         remat: bool = False,
-        remat_policy: str = "full",  # "full" | "convs" (save conv outputs)
+        remat_policy: str = "convs",  # "convs" (save conv outputs) | "full"
     ):
         self.model = model
         self.cfg = cfg
