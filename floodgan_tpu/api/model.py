@@ -86,6 +86,7 @@ class Model:
         metadata_dir: Optional[str] = None,
         lpips_weights: Optional[str] = None,
         compute_dtype: str = "float32",
+        remat: bool = False,
         train_cfg: TrainConfig = TrainConfig(),
     ):
         if verbose:
@@ -147,11 +148,12 @@ class Model:
             self.trainer = CycleTrainer(
                 self.model, input_channels, cfg=train_cfg,
                 add_identity_loss=self.add_identity_loss,
-                compute_dtype=compute_dtype,
+                compute_dtype=compute_dtype, remat=remat,
             )
         else:
             self.trainer = PairedTrainer(
-                self.model, input_channels, cfg=train_cfg, compute_dtype=compute_dtype
+                self.model, input_channels, cfg=train_cfg,
+                compute_dtype=compute_dtype, remat=remat,
             )
 
         h, w = self._image_hw()
