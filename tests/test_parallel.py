@@ -80,3 +80,43 @@ def test_dryrun_multichip_other_sizes():
 
     ge.dryrun_multichip(2)
     ge.dryrun_multichip(4)
+
+
+def test_dryrun_multichip_hostile_preinitialized_backend():
+    """Driver-environment simulation: the JAX backend is already initialized
+    with a single device before dryrun_multichip is called (this is what
+    failed in MULTICHIP_r01.json).  The dry run must detect it and re-exec
+    itself in a clean CPU subprocess rather than dying in make_mesh."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("_FLOODGAN_DRYRUN_CHILD", None)
+    # Strip the virtual-device flag so the hostile process initializes with
+    # exactly one CPU device before the dry run is invoked.
+    env["XLA_FLAGS"] = " ".join(
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    code = (
+        "import jax\n"
+        "assert len(jax.devices()) == 1, jax.devices()  # backend now initialized, 1 device\n"
+        f"import sys; sys.path.insert(0, {repo!r})\n"
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(8)\n"
+        "print('HOSTILE_DRYRUN_OK')\n"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=1500,
+    )
+    assert res.returncode == 0, f"stdout:\n{res.stdout}\nstderr:\n{res.stderr}"
+    assert "HOSTILE_DRYRUN_OK" in res.stdout
