@@ -40,14 +40,15 @@ def main() -> None:
                         "cycle strategies at 512^2 with batch > 1)")
     p.add_argument("--remat_policy", default="convs", choices=["full", "convs"],
                    help="convs = save conv outputs, recompute only norms")
-    p.add_argument("--pallas", action="store_true",
-                   help="enable the Pallas kernel paths (default off in bench: "
-                        "the tunneled backend's remote compile of Pallas calls "
-                        "is prohibitively slow)")
+    p.add_argument("--pallas", nargs="?", const="1", default=None,
+                   help="enable the Pallas kernel paths: '1' = all, or a "
+                        "comma list of kernels ('in', 'compose').  Default "
+                        "off — measured slower than XLA's own fusion on v5e "
+                        "(BENCH_NOTES.md round 2)")
     args = p.parse_args()
 
-    if not args.pallas:
-        os.environ["FLOODGAN_PALLAS"] = "0"
+    if args.pallas is not None:
+        os.environ["FLOODGAN_PALLAS"] = args.pallas
     # Persistent compilation cache: repeat bench runs skip the multi-minute
     # XLA compile (honored by local runtimes; harmless where it is not).
     os.environ.setdefault(

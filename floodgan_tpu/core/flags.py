@@ -21,11 +21,25 @@ import jax
 _TPU_PLATFORMS = ("tpu",)
 
 
-def use_pallas() -> bool:
+def use_pallas(which: str = "") -> bool:
+    """Whether to route ``which`` ("in" | "compose" | "" = any) through the
+    Pallas kernels.  FLOODGAN_PALLAS accepts 0/1 or a comma list of kernel
+    names ("in", "compose") for per-kernel selection.
+
+    Default: OFF everywhere.  Measured on a real v5e chip (BENCH_NOTES.md
+    round 2): the full 512^2 train step runs 37.0 samples/s with XLA's own
+    fusion vs 22.4 with the Pallas kernels enabled — XLA fuses the IN
+    chains and the compose head into the surrounding convolutions, which
+    the standalone kernels (extra HBM round trips at the call boundaries)
+    cannot beat.  The kernels stay available for exotic shapes/backends via
+    this flag and remain golden-tested.
+    """
     env = os.environ.get("FLOODGAN_PALLAS")
-    if env is not None:
-        return env not in ("0", "false", "False", "")
-    try:
-        return jax.default_backend() in _TPU_PLATFORMS
-    except Exception:
+    if env is None:
         return False
+    if env in ("0", "false", "False", ""):
+        return False
+    if env in ("1", "true", "True"):
+        return True
+    names = {s.strip() for s in env.split(",")}
+    return (which or "in") in names or (not which and bool(names))

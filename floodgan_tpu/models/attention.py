@@ -71,6 +71,6 @@ class AttentionGenerator(nn.Module):
         from floodgan_tpu.core.flags import use_pallas
         from floodgan_tpu.ops import pallas_kernels as pk
 
-        compose = pk.attention_compose if use_pallas() else pk._attention_compose_jnp
+        compose = pk.attention_compose if use_pallas("compose") else pk._attention_compose_jnp
         output, background_mask = compose(content, attn_logits, x[..., :3])
         return output, background_mask

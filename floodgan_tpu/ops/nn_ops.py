@@ -227,7 +227,7 @@ def instance_norm_act(
     from floodgan_tpu.core.flags import use_pallas
     from floodgan_tpu.ops import pallas_kernels as pk
 
-    if use_pallas():
+    if use_pallas("in"):
         return pk.fused_instance_norm(
             x, residual=residual, relu=relu, negative_slope=negative_slope
         )

@@ -25,6 +25,7 @@ def masks_fixture(tmp_path_factory):
     return make_masks_fixture(root, size=32)
 
 
+@pytest.mark.slow
 def test_paired_train_checkpoint_resume(flood_fixture):
     from floodgan_tpu.api import Model
 
@@ -57,6 +58,7 @@ def test_paired_train_checkpoint_resume(flood_fixture):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_cycle_train_with_identity(flood_fixture):
     from floodgan_tpu.api import Model
 
@@ -71,6 +73,7 @@ def test_cycle_train_with_identity(flood_fixture):
     assert len(model.all_losses["all_losses_pre_to_post_cycle"]) == 1
 
 
+@pytest.mark.slow
 def test_seg_train_eval_and_cli(masks_fixture, capsys):
     from floodgan_tpu.api import SegmentationModel
 
@@ -94,6 +97,7 @@ def test_seg_train_eval_and_cli(masks_fixture, capsys):
     assert metric_files
 
 
+@pytest.mark.slow
 def test_evaluate_flow(flood_fixture, masks_fixture):
     from floodgan_tpu.api import Model, SegmentationModel
 
@@ -138,6 +142,7 @@ def test_evaluate_flow(flood_fixture, masks_fixture):
     assert glob.glob(f"{data_path}/images/Pix2Pix_{img}_*.png")
 
 
+@pytest.mark.slow
 def test_compare_two_models(flood_fixture, masks_fixture):
     from floodgan_tpu.api import Model, ModelsGroup
 
@@ -180,6 +185,7 @@ def test_cli_train_smoke(flood_fixture):
     ])
 
 
+@pytest.mark.slow
 def test_resume_bitwise_equivalence(flood_fixture):
     """2 epochs straight == 1 epoch -> checkpoint -> resume -> 1 epoch:
     identical parameters (deterministic data order, per-epoch RNG, LR
@@ -230,6 +236,7 @@ def test_resume_bitwise_equivalence(flood_fixture):
         _np.testing.assert_array_equal(_np.asarray(xa), _np.asarray(xb))
 
 
+@pytest.mark.slow
 def test_model_data_parallel_training(flood_fixture):
     """Model-level DP: batch 4 sharded over a 4-device mesh trains and
     matches the single-device loss trajectory."""
@@ -252,6 +259,7 @@ def test_model_data_parallel_training(flood_fixture):
         )
 
 
+@pytest.mark.slow
 def test_cli_evaluate_and_segment_and_compare(flood_fixture, masks_fixture):
     """Drive the three remaining CLI mains end-to-end on the fixture."""
     from floodgan_tpu.cli.train import main as train_main

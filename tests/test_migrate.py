@@ -46,6 +46,7 @@ def _torch_paired_step(tg, td, opt_g, opt_d, x, y):
     return ld_s.item(), ld_r.item(), lg.item(), ll1.item()
 
 
+@pytest.mark.slow
 def test_migrate_gan_checkpoint_continues_training(ref, rng, tmp_path):
     from floodgan_tpu.utils.migrate import migrate_gan
     from floodgan_tpu.ckpt import load_checkpoint

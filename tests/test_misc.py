@@ -67,8 +67,12 @@ def test_use_pallas_env_override(monkeypatch):
     assert use_pallas()
     monkeypatch.setenv("FLOODGAN_PALLAS", "0")
     assert not use_pallas()
+    monkeypatch.setenv("FLOODGAN_PALLAS", "in")
+    assert use_pallas("in") and not use_pallas("compose")
+    monkeypatch.setenv("FLOODGAN_PALLAS", "in,compose")
+    assert use_pallas("in") and use_pallas("compose")
     monkeypatch.delenv("FLOODGAN_PALLAS")
-    assert use_pallas() is False  # CPU test backend
+    assert use_pallas() is False  # default off (XLA fusion wins, BENCH_NOTES)
 
 
 def test_step_timer_warmup_discard():

@@ -35,6 +35,7 @@ def test_dryrun_multichip():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_data_parallel_matches_single_device(rng):
     """Same batch, sharded over 8 devices vs unsharded: identical losses
     and identical updated parameters (psum-mean equivalence)."""
@@ -74,6 +75,7 @@ def test_data_parallel_matches_single_device(rng):
         )
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_other_sizes():
     """Mesh generality: the dry run works for 2 and 4 device meshes too."""
     import __graft_entry__ as ge
@@ -82,6 +84,7 @@ def test_dryrun_multichip_other_sizes():
     ge.dryrun_multichip(4)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_hostile_preinitialized_backend():
     """Driver-environment simulation: the JAX backend is already initialized
     with a single device before dryrun_multichip is called (this is what

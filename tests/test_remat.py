@@ -2,6 +2,7 @@
 remat=False produce identical step losses for both strategies."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -17,6 +18,7 @@ def _losses(trainer, x, y, key):
     return {k: float(v) for k, v in {**{f"s1_{k}": v for k, v in m1.items()}, **m2}.items()}
 
 
+@pytest.mark.slow
 def test_paired_remat_equivalence(rng):
     x = jnp.asarray(rng.standard_normal((2, 32, 32, 9), dtype=np.float32) * 0.5)
     y = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32) * 0.5)
@@ -27,6 +29,7 @@ def test_paired_remat_equivalence(rng):
         np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-6, err_msg=k)
 
 
+@pytest.mark.slow
 def test_cycle_remat_equivalence(rng):
     x = jnp.asarray(rng.standard_normal((1, 32, 32, 9), dtype=np.float32) * 0.5)
     y = jnp.asarray(rng.standard_normal((1, 32, 32, 3), dtype=np.float32) * 0.5)

@@ -4,12 +4,14 @@ import glob
 import os
 
 import numpy as np
+import pytest
 
 import jax
 
 from fixtures import make_flood_fixture
 
 
+@pytest.mark.slow
 def test_inference_engine_and_predict_cli(tmp_path, rng):
     from floodgan_tpu.api import Model
     from floodgan_tpu.serve import InferenceEngine

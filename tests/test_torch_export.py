@@ -23,6 +23,7 @@ def ref():
     return mod
 
 
+@pytest.mark.slow
 def test_export_roundtrip_paired(ref, rng, tmp_path):
     from floodgan_tpu.train.paired import PairedTrainer
     from floodgan_tpu.ckpt import save_checkpoint, load_checkpoint

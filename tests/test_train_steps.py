@@ -71,6 +71,7 @@ def test_bce_with_logits_matches_torch(rng):
     assert abs(ref_loss - mine) < 1e-6
 
 
+@pytest.mark.slow
 def test_paired_step_matches_reference_recipe(ref, rng):
     """Two paired (pix2pix) steps vs the reference recipe in torch
     (reference models/model.py:598-658)."""
@@ -127,6 +128,7 @@ def test_paired_step_matches_reference_recipe(ref, rng):
         np.testing.assert_allclose(float(metrics["l1_losses_generator_synthetic"]), loss_g_l1.item(), rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_cycle_step_matches_reference_recipe(ref, rng):
     """Two cycle (cyclegan, topography=all, identity on) steps vs the
     reference recipe in torch (reference models/model.py:660-758).  The
