@@ -1,18 +1,24 @@
 #!/usr/bin/env python
-"""Headline benchmark: PairedAttention adversarial training steps/sec/chip
-at 512x512 with the full 9-channel topography stack (the reference's
-headline config: train.py --model=PairedAttention --topography=all
---resize=512 --crop=4 -> 512^2 after resize, 256^2 tiles with crop; we
-bench the uncropped 512^2 step, the heavier case).
+"""Headline benchmark: PairedAttention adversarial training at 512x512 with
+the full 9-channel topography stack (the reference's headline config:
+train.py --model=PairedAttention --topography=all --resize=512).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} where
+value is batch-1-equivalent samples/sec/chip and the extra keys carry the
+primary efficiency metrics (achieved TFLOP/s and MFU, with FLOPs taken from
+XLA's cost analysis of the compiled step — not an estimate).
 
-Baseline: the reference publishes no numbers (BASELINE.md).  We use a
-documented engineering estimate of the PyTorch reference on one A100:
-~1.5 TFLOP/step at 512^2 through an eager per-item python loop with
-host-side TIFF decode + bicubic resize per sample at batch 1 — measured
-reference-style loops of this shape run ~4 steps/s on A100-class hardware
-(data-bound, not FLOP-bound).  vs_baseline = our steps/s / 4.0.
+Baseline (vs_baseline): the reference publishes no numbers (BASELINE.md).
+What is MEASURED: the reference's own torch training step on this host's
+CPU runs 0.042 steps/s = 74 GFLOP/s on one core (tools/ref_torch_bench.py),
+i.e. essentially compute-bound at the core's FLOP envelope.  The A100
+anchor is therefore a documented FLOPs-envelope extrapolation, deliberately
+generous to the reference: credit the eager batch-1 fp32 loop (cuDNN TF32
+convs, per-item host TIFF decode ignored) with 15% of the A100's 156
+TFLOP/s TF32 peak = 23.4 TFLOP/s.  At the measured 1.765 TFLOP/sample this
+gives REF_A100_EST = 13.3 samples/s.  vs_baseline = ours / 13.3 — a lower
+bound on the true ratio (eager batch-1 loops with host-side data stalls do
+not reach 15% of peak end to end).
 """
 
 from __future__ import annotations
@@ -23,7 +29,27 @@ import os
 import sys
 import time
 
-A100_REFERENCE_STEPS_PER_SEC = 4.0
+# A100 anchor, derived above from the measured FLOPs/sample and a generous
+# 15%-of-TF32-peak credit; see BENCH_NOTES.md "Baseline" for the full math.
+REF_A100_SAMPLES_PER_SEC_EST = 13.3
+# Host-CPU measurement of the actual reference loop (2026-08, 1 core):
+REF_CPU_MEASURED_SAMPLES_PER_SEC = 0.042
+
+# bf16 MXU peak per chip, by device kind prefix.
+_PEAK_TFLOPS = {
+    "TPU v5 lite": 197.0,   # v5e
+    "TPU v5": 459.0,        # v5p
+    "TPU v4": 275.0,
+    "TPU v6": 918.0,        # trillium
+}
+
+
+def _peak_for(device) -> float:
+    kind = getattr(device, "device_kind", "")
+    for prefix, peak in sorted(_PEAK_TFLOPS.items(), key=lambda kv: -len(kv[0])):
+        if kind.startswith(prefix):
+            return peak
+    return 197.0
 
 
 def main() -> None:
@@ -79,6 +105,17 @@ def main() -> None:
     def step(state, i):
         return trainer.train_step(state, x, y, lr, jax.random.key(i))
 
+    # FLOPs of the compiled step from XLA's own cost analysis (the jitted
+    # bound method exposes .lower through the class attribute).
+    flops_per_step = None
+    try:
+        lowered = type(trainer).train_step.lower(trainer, state, x, y, lr, jax.random.key(0))
+        ca = lowered.compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops_per_step = float(ca["flops"])
+    except Exception:
+        pass
+
     # NB: sync via a host value fetch — on the tunneled (axon) backend
     # block_until_ready alone does not wait for execution.
     def sync(metrics):
@@ -95,16 +132,24 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     steps_per_sec = args.steps / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"{args.model} {args.size}^2 topo=all train steps/sec/chip (batch {args.batch})",
-                "value": round(steps_per_sec * args.batch, 4),
-                "unit": "steps/sec (batch-1-equivalent samples/sec)",
-                "vs_baseline": round(steps_per_sec * args.batch / A100_REFERENCE_STEPS_PER_SEC, 4),
-            }
-        )
-    )
+    samples_per_sec = steps_per_sec * args.batch
+    result = {
+        "metric": f"{args.model} {args.size}^2 topo=all train samples/sec/chip (batch {args.batch})",
+        "value": round(samples_per_sec, 4),
+        "unit": "batch-1-equivalent samples/sec/chip",
+        "vs_baseline": round(samples_per_sec / REF_A100_SAMPLES_PER_SEC_EST, 4),
+        "baseline": f"reference credited 15% of A100 TF32 peak = {REF_A100_SAMPLES_PER_SEC_EST} "
+                    f"samples/s (measured same-host CPU: {REF_CPU_MEASURED_SAMPLES_PER_SEC}/s; "
+                    "see bench.py docstring + BENCH_NOTES.md)",
+    }
+    if flops_per_step:
+        peak = _peak_for(jax.devices()[0])
+        tflops = flops_per_step * steps_per_sec / 1e12
+        result["tflops_per_sec"] = round(tflops, 2)
+        result["mfu"] = round(tflops / peak, 4)
+        result["flops_per_sample_tf"] = round(flops_per_step / args.batch / 1e12, 4)
+        result["peak_tflops"] = peak
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
