@@ -36,29 +36,98 @@ def conv2d(
     """torch.nn.Conv2d twin. ``w`` is HWIO; torch's OIHW maps via
     ``w_torch.permute(2, 3, 1, 0)``.  Both are cross-correlations.
 
-    Wide-kernel convs with narrow outputs (the 7x7 -> 27/3-channel decoder
-    heads) run ~1.5x faster on TPU with the output channel dim zero-padded
-    to a full 128-lane register and sliced after (measured:
-    tools/microbench_in.py) — numerics unchanged (extra channels are
-    exact zeros and are discarded)."""
+    Narrow-output convs (the 27/10/3-channel decoder heads) waste MXU
+    lanes: cout 27 uses 21% of a 128-lane register and XLA's emitters run
+    them at ~20 TF/s at 512^2 (measured in-step, BENCH_NOTES round 2).
+    For stride-1 cases the *phase-fold* path rewrites the conv in 2x2
+    space-to-depth coordinates with all four output phases folded into the
+    channel dim (one conv, 4*cout outputs, 4*cin inputs at H/2 x W/2) —
+    same math, ~4x lane utilization, measured ~2.6x faster forward in the
+    model's decoder context (tools/microbench_head.py).  Disable with
+    FLOODGAN_PHASEFOLD=0."""
     kh, kw, _, cout = w.shape
-    # only genuinely narrow outputs (27-ch content head, 3-ch RGB head):
-    # padding a 64-wide conv to 128 would double its useful FLOPs.
-    pad_cout = kh * kw >= 49 and 0 < cout < 32
-    if pad_cout:
-        w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, 128 - cout)))
-    out = lax.conv_general_dilated(
-        x,
-        w,
-        window_strides=(stride, stride),
-        padding=((padding, padding), (padding, padding)),
-        dimension_numbers=DIMSPEC,
-    )
-    if pad_cout:
-        out = out[..., :cout]
+    if _phasefold_eligible(x, w, stride, padding):
+        out = _conv2d_phasefold(x, w, padding)
+    else:
+        out = lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=(stride, stride),
+            padding=((padding, padding), (padding, padding)),
+            dimension_numbers=DIMSPEC,
+        )
     if b is not None:
         out = out + b
     return out
+
+
+def _phasefold_enabled() -> bool:
+    import os
+
+    return os.environ.get("FLOODGAN_PHASEFOLD", "1") not in ("0", "false", "")
+
+
+def _phasefold_eligible(x, w, stride: int, padding: int) -> bool:
+    kh, kw, cin, cout = w.shape
+    if stride != 1 or kh != kw:
+        return False
+    # narrow outputs (27/10/3-ch heads: lane waste) or narrow inputs
+    # (9-ch stems: sublane waste) benefit; full-width convs don't.
+    if not (cout < 32 or (cin < 16 and cout <= 128)):
+        return False
+    n, h, wd, c = x.shape
+    out_h = h + 2 * padding - kh + 1
+    out_w = wd + 2 * padding - kw + 1
+    # even outputs only (2x2 phase grid), and large enough to matter
+    if out_h % 2 or out_w % 2 or min(out_h, out_w) < 128:
+        return False
+    return _phasefold_enabled()
+
+
+def _phasefold_onehot(kh: int, kw: int, kb: int):
+    """Constant routing tensor T[of, j, k, bj, bk, pin] ∈ {0,1}: original
+    tap (j, k) for output phase of=(r*2+c) lands at block (bj, bk) of the
+    folded kernel, reading input phase pin=((r+j)%2)*2+((c+k)%2)."""
+    import numpy as np
+
+    T = np.zeros((4, kh, kw, kb, kb, 4), np.float32)
+    for r in (0, 1):
+        for c in (0, 1):
+            for j in range(kh):
+                for k in range(kw):
+                    T[r * 2 + c, j, k, (r + j) // 2, (c + k) // 2,
+                      ((r + j) % 2) * 2 + ((c + k) % 2)] = 1.0
+    return T
+
+
+def _conv2d_phasefold(x: jax.Array, w: jax.Array, padding: int) -> jax.Array:
+    """Stride-1 conv2d in 2x2 space-to-depth coordinates, all four output
+    phases folded into the channel dim.  out[2t+r, 2u+c] = sum_{j,k}
+    w[j,k] x[2t+r+j, 2u+c+k]: grouping (r+j) and (c+k) by parity turns the
+    k x k conv over C channels into one kb x kb conv over 4C channels with
+    4*cout outputs, kb = k//2 + 1.  Numerically the same conv (golden
+    tested vs the direct lowering); only the accumulation order differs."""
+    kh, kw, cin, cout = w.shape
+    if padding:
+        x = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    n, H, W, C = x.shape
+    out_h, out_w = H - kh + 1, W - kw + 1
+    x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+    Hp, Wp = H + H % 2, W + W % 2
+    xs = x.reshape(n, Hp // 2, 2, Wp // 2, 2, C)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, Hp // 2, Wp // 2, 4 * C)
+
+    kb = kh // 2 + 1
+    T = jnp.asarray(_phasefold_onehot(kh, kw, kb), w.dtype)
+    # wk[bj, bk, pin*C+ci, of*cout+co] = sum_{j,k} T[of,j,k,bj,bk,pin] w[j,k,ci,co]
+    wk = jnp.einsum("fjkbcp,jkiz->bcpifz", T, w, optimize=True)
+    wk = wk.reshape(kb, kb, 4 * C, 4 * cout)
+
+    out = lax.conv_general_dilated(
+        xs, wk, (1, 1), "VALID", dimension_numbers=DIMSPEC
+    )[:, : out_h // 2, : out_w // 2]
+    out = out.reshape(n, out_h // 2, out_w // 2, 2, 2, cout)
+    return out.transpose(0, 1, 3, 2, 4, 5).reshape(n, out_h, out_w, cout)
 
 
 def conv_transpose2d(

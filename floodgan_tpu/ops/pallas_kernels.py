@@ -390,8 +390,15 @@ def attention_compose(
 
 def _attention_compose_jnp(content, attn_logits, rgb):
     n, h, w, _ = content.shape
+    # softmax statistics in f32; the 9-term multiply-accumulate runs in the
+    # activation dtype (bf16 under the mixed-precision policy: tanh'd
+    # content in [-1,1] x masks in [0,1] — well inside bf16 range; f32 at
+    # eval, where metric parity is pinned).  Measured: the all-f32 version
+    # dragged ~25 ms/step of converts + f32 dot_generals into the 512^2
+    # train step (BENCH_NOTES round 2).
     attn = jax.nn.softmax(attn_logits.astype(jnp.float32), axis=-1)
-    content9 = content.astype(jnp.float32).reshape(n, h, w, 9, 3)
+    attn = attn.astype(content.dtype)
+    content9 = content.reshape(n, h, w, 9, 3)
     fg = jnp.einsum("nhwkc,nhwk->nhwc", content9, attn[..., :9])
-    out = fg + rgb.astype(jnp.float32) * attn[..., 9:10]
-    return out.astype(content.dtype), attn[..., 9].astype(content.dtype)
+    out = fg + rgb.astype(content.dtype) * attn[..., 9:10]
+    return out.astype(content.dtype), attn[..., 9]

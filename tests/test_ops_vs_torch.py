@@ -156,3 +156,60 @@ def test_conv_transpose_subpixel_equals_dilated(rng, k, s, p, op, hin):
     a = ops.conv_transpose2d(x, w, stride=s, padding=p, output_padding=op, method="dilated")
     b = ops.conv_transpose2d(x, w, stride=s, padding=p, output_padding=op, method="subpixel")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "shape,kern,pad",
+    [
+        ((2, 134, 134, 16), (7, 7, 16, 27), 0),   # content head (scaled down)
+        ((2, 128, 128, 16), (1, 1, 16, 10), 0),   # attention 1x1 head
+        ((2, 134, 134, 16), (7, 7, 16, 3), 0),    # RGB head
+        ((2, 128, 128, 16), (3, 3, 16, 4), 1),    # padded odd-kernel case
+    ],
+)
+def test_conv2d_phasefold_matches_direct(rng, shape, kern, pad):
+    """The phase-fold lowering (2x2 space-to-depth with output phases folded
+    into channels) is the same convolution as the direct lowering."""
+    from floodgan_tpu.ops.nn_ops import (
+        _conv2d_phasefold,
+        _phasefold_eligible,
+    )
+    from jax import lax
+    from floodgan_tpu.ops.nn_ops import DIMSPEC
+
+    x = jnp.asarray(rng.standard_normal(shape, dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal(kern, dtype=np.float32) * 0.1)
+    assert _phasefold_eligible(x, w, 1, pad)
+    direct = lax.conv_general_dilated(
+        x, w, (1, 1), ((pad, pad), (pad, pad)), dimension_numbers=DIMSPEC
+    )
+    folded = jax.jit(lambda x, w: _conv2d_phasefold(x, w, pad))(x, w)
+    assert folded.shape == direct.shape
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(direct),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_conv2d_phasefold_ineligible_cases(rng):
+    from floodgan_tpu.ops.nn_ops import _phasefold_eligible
+
+    w27 = jnp.zeros((7, 7, 16, 27))
+    x = jnp.zeros((1, 134, 134, 16))
+    assert _phasefold_eligible(x, w27, 1, 0)
+    assert not _phasefold_eligible(x, w27, 2, 0)            # strided
+    assert not _phasefold_eligible(x, jnp.zeros((7, 7, 16, 64)), 1, 0)  # wide out
+    assert not _phasefold_eligible(jnp.zeros((1, 133, 133, 16)), w27, 1, 0)  # odd out
+    assert not _phasefold_eligible(jnp.zeros((1, 70, 70, 16)), w27, 1, 0)   # small
+
+
+def test_conv2d_phasefold_stem_shape(rng):
+    """Thin-input stem conv (9->64 7x7) through the phase-fold path."""
+    from floodgan_tpu.ops.nn_ops import _conv2d_phasefold, _phasefold_eligible
+    from jax import lax
+    from floodgan_tpu.ops.nn_ops import DIMSPEC
+
+    x = jnp.asarray(rng.standard_normal((2, 134, 134, 9), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((7, 7, 9, 64), dtype=np.float32) * 0.1)
+    assert _phasefold_eligible(x, w, 1, 0)
+    direct = lax.conv_general_dilated(x, w, (1, 1), "VALID", dimension_numbers=DIMSPEC)
+    folded = jax.jit(lambda x, w: _conv2d_phasefold(x, w, 0))(x, w)
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(direct), atol=2e-4, rtol=2e-4)
