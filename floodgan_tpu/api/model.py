@@ -186,14 +186,28 @@ class Model:
     # ------------------------------------------------------------- helpers
 
     def _image_hw(self):
-        """Post-transform image size (static shapes for jit)."""
+        """Post-transform image size (static shapes for jit).
+
+        With ``resize`` set this assumes square sources: torchvision's
+        ``Resize(int)`` (the reference transform, utils.py:41-43) scales the
+        SHORTER edge, which coincides with h = w = resize only for square
+        images.  The xBD dataset is all 1024^2, so this holds; assert it so
+        a non-square dataset fails loudly instead of silently diverging."""
+        ds = next(
+            (d for d in (self.train_loader.dataset, self.val_loader.dataset,
+                         self.test_loader.dataset) if len(d)),
+            None,
+        )
         if self.resize:
+            if ds is not None:
+                raw_in, _, _, _ = ds.read_raw(0)
+                if raw_in.shape[0] != raw_in.shape[1]:
+                    raise ValueError(
+                        f"--resize assumes square source images (shorter-edge "
+                        f"Resize semantics); got {raw_in.shape[:2]}"
+                    )
             h = w = self.resize
         else:
-            ds = next(
-                d for d in (self.train_loader.dataset, self.val_loader.dataset,
-                            self.test_loader.dataset) if len(d)
-            )
             raw_in, _, _, _ = ds.read_raw(0)
             h, w = raw_in.shape[:2]
         if self.crop:
@@ -434,8 +448,17 @@ class Model:
             y01 = denormalize(y)
             out01 = denormalize(out)
             # MS-SSIM needs >160px spatial dims (5 scales x 11-tap kernel),
-            # same constraint torchmetrics enforces.
+            # same constraint torchmetrics enforces (it raises; we NaN the
+            # column and say so once instead of failing the whole eval).
             ms_ok = min(out01.shape[1], out01.shape[2]) > 160
+            if not ms_ok and not getattr(self, "_ms_ssim_warned", False):
+                print(
+                    f"WARNING: images are {out01.shape[1]}x{out01.shape[2]} "
+                    "after resize/crop — MS-SSIM requires >160px per side "
+                    "(5 dyadic scales x 11-tap kernel); the MS-SSIM column "
+                    "will be NaN for this run."
+                )
+                self._ms_ssim_warned = True
             imgm = jax.device_get(image_pair_metrics(out01, y01, with_ms_ssim=ms_ok))
             per_image["PSNR"].extend(imgm["PSNR"].tolist())
             per_image["SSIM"].extend(imgm["SSIM"].tolist())

@@ -7,41 +7,41 @@ import argparse
 
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
-        description="Compare trained Pix2Pix, CycleGAN, AttentionGAN and PairedAttention models on the flood images dataset"
+        description="Side-by-side outputs and metric tables for several trained generator checkpoints"
     )
-    parser.add_argument("--dataset_subset", required=True, help="The dataset subset that the models were trained on")
-    parser.add_argument("--dataset_dem", required=True, help="Specify whether the DEM used should be 'best' available or all the 'same'")
-    parser.add_argument("--use_test_data", action="store_true", default=False, help="Use the test dataset instead of the validation dataset.")
-    parser.add_argument("--data_path", required=True, help="The path to the location of the data folder. Example: 'C:/data'")
-    parser.add_argument("--resize", type=int, default=None, help="Resize the images to the given size. The resize is applied before the crop")
-    parser.add_argument("--crop", type=int, default=None, help="Crop each image into the given number of images. The resize is applied before the crop")
-    parser.add_argument("--crop_index", type=int, default=0, help="When saving an image with the crop transformation, the crop_index indicates which quadrant to save")
-    parser.add_argument("--topography", default=None, help="Which topographical factors should be input to the model. 'all', 'dem', 'map', 'flow', or 'river'")
+    parser.add_argument("--dataset_subset", required=True, help="Dataset slice the compared models were trained on")
+    parser.add_argument("--dataset_dem", required=True, help="DEM resolution policy: 'best' picks each tile's finest available DEM, 'same' uses a uniform resolution everywhere")
+    parser.add_argument("--use_test_data", action="store_true", default=False, help="Evaluate on the held-out test split rather than the validation split")
+    parser.add_argument("--data_path", required=True, help="Root directory of the on-disk dataset (contains dataset_input/, dataset_output/, ...)")
+    parser.add_argument("--resize", type=int, default=None, help="Bicubic-resize images to this size first (runs before any crop)")
+    parser.add_argument("--crop", type=int, default=None, help="Tile each (possibly resized) image into this many equal quadrant crops, each treated as a separate sample")
+    parser.add_argument("--crop_index", type=int, default=0, help="Quadrant index to select when plotting a cropped image")
+    parser.add_argument("--topography", default=None, help="Extra input channels beyond RGB: all, dem, map, flow, or river (omit for RGB-only)")
 
-    parser.add_argument("--segmentation_model_path", default=None, help="Path to a pre-trained flood segmentation model")
+    parser.add_argument("--segmentation_model_path", default=None, help="U-Net segmentation checkpoint used to derive flood masks for the mask metrics")
 
-    parser.add_argument("--pix2pix_path", default=None, help="Path to the pretrained Pix2Pix model")
-    parser.add_argument("--cyclegan_path", default=None, help="Path to the pretrained CycleGAN model")
-    parser.add_argument("--attentiongan_path", default=None, help="Path to the pretrained AttentionGAN model")
-    parser.add_argument("--pairedattention_path", default=None, help="Path to the pretrained PairedAttention model")
+    parser.add_argument("--pix2pix_path", default=None, help="Pix2Pix checkpoint (--compare models)")
+    parser.add_argument("--cyclegan_path", default=None, help="CycleGAN checkpoint (--compare models)")
+    parser.add_argument("--attentiongan_path", default=None, help="AttentionGAN checkpoint (--compare models)")
+    parser.add_argument("--pairedattention_path", default=None, help="PairedAttention checkpoint (--compare models)")
 
-    parser.add_argument("--all_topography_path", default=None, help="Path to a model trained on all topography")
-    parser.add_argument("--none_topography_path", default=None, help="Path to a model trained on no topography")
-    parser.add_argument("--dem_topography_path", default=None, help="Path to a model trained on only DEM topography")
-    parser.add_argument("--river_topography_path", default=None, help="Path to a model trained on on only river distance topography")
-    parser.add_argument("--flow_topography_path", default=None, help="Path to a model trained on on only flow accumulation topography")
-    parser.add_argument("--map_topography_path", default=None, help="Path to a model trained on on only map topography")
+    parser.add_argument("--all_topography_path", default=None, help="Checkpoint of the all-topography ablation (--compare topography)")
+    parser.add_argument("--none_topography_path", default=None, help="Checkpoint of the RGB-only ablation (--compare topography)")
+    parser.add_argument("--dem_topography_path", default=None, help="Checkpoint of the DEM-only ablation (--compare topography)")
+    parser.add_argument("--river_topography_path", default=None, help="Checkpoint of the river-distance-only ablation (--compare topography)")
+    parser.add_argument("--flow_topography_path", default=None, help="Checkpoint of the flow-accumulation-only ablation (--compare topography)")
+    parser.add_argument("--map_topography_path", default=None, help="Checkpoint of the map-only ablation (--compare topography)")
 
-    parser.add_argument("--model_1_path", default=None, help="Path to pre-trained model 1")
-    parser.add_argument("--model_2_path", default=None, help="Path to pre-trained model 2")
+    parser.add_argument("--model_1_path", default=None, help="First checkpoint (--compare two)")
+    parser.add_argument("--model_2_path", default=None, help="Second checkpoint (--compare two)")
 
-    parser.add_argument("--compare", required=True, help="Compare the performance of either 'models' 'topography' or 'two'")
+    parser.add_argument("--compare", required=True, help="Comparison mode: models (4 architectures), topography (6 ablations), or two (any pair)")
     parser.add_argument(
         "--image_names", default=None, nargs="+",
-        help="The names of the images to compare on the models."
-        "Optionally add '_index' to the end of image names to specify the crop index",
+        help="Dataset image names to render side by side; append '_<n>' to an "
+        "image name to pick crop quadrant n",
     )
-    parser.add_argument("--calculate_metrics", action="store_true", default=False, help="Calculate automated metrics to compare the models")
+    parser.add_argument("--calculate_metrics", action="store_true", default=False, help="Compute the metric suite for every model, averaged and grouped by disaster, and write CSVs")
     # TPU-native extensions
     parser.add_argument("--metadata_dir", default=None, help="Directory holding dataset_split.csv (defaults to ./metadata like the reference)")
     parser.add_argument("--lpips_weights", default=None, help="Path to LPIPS weights npz (see floodgan_tpu/utils/export_lpips.py)")

@@ -8,27 +8,27 @@ import os
 
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
-        description="Evaluate a trained Pix2Pix, CycleGAN, AttentionGAN or PairedAttention model on the flood images dataset"
+        description="Plots and metrics for a trained flood-prediction generator checkpoint"
     )
-    parser.add_argument("--model", required=True, help="Model can be one of: Pix2Pix, CycleGAN, AttentionGAN or PairedAttention")
-    parser.add_argument("--dataset_subset", default="all", help="Specify the dataset subset, e.g. USA, India, Hurricane-Harvey")
-    parser.add_argument("--dataset_dem", required=True, help="Specify whether the DEM used should be 'best' available or all the 'same'")
-    parser.add_argument("--use_test_data", action="store_true", default=False, help="Use the test dataset instead of the validation dataset.")
-    parser.add_argument("--data_path", required=True, help="The path to the location of the data folder. Example: 'C:/data'")
-    parser.add_argument("--resize", type=int, default=None, help="Resize the images to the given size. The resize is applied before the crop")
-    parser.add_argument("--crop", type=int, default=None, help="Crop each image into the given number of images. The resize is applied before the crop")
-    parser.add_argument("--crop_index", type=int, default=0, help="When saving an image with the crop transformation, the crop_index indicates which quadrant to save")
-    parser.add_argument("--topography", default=None, help="Which topographical factors should be input to the model. 'all', 'dem', 'map', 'flow', or 'river'")
-    parser.add_argument("--pretrained_model_path", required=True, help="Path to a pretrained model")
-    parser.add_argument("--plot_losses", action="store_true", default=False, help="Plot the model losses figure")
-    parser.add_argument("--plot_sample_images", action="store_true", default=False, help="Plot 'num_images' generated images from the training and validation dataset")
-    parser.add_argument("--num_images", type=int, default=5, help="When plotting sample images, num_images indicates how many generated images to plot")
-    parser.add_argument("--seed", type=int, default=47, help="The random seed to generate sample images")
-    parser.add_argument("--image_name", default=None, help="The name of the image to plot")
-    parser.add_argument("--plot_single_image", default=None, help="Plot a single image of the given type, must be one of 'input' 'ground truth' 'output' or 'attention mask'")
-    parser.add_argument("--plot_image_set", action="store_true", default=False, help="Plot a set of input, ground truth, output and attention mask (if appropriate)")
-    parser.add_argument("--calculate_metrics", action="store_true", default=False, help="Calculate metrics for the current model")
-    parser.add_argument("--segmentation_model_path", default=None, help="Path to a pre-trained flood segmentation model, required to calculate metrics")
+    parser.add_argument("--model", required=True, help="Architecture to use: pix2pix, cyclegan, attentiongan, or pairedattention (case-insensitive)")
+    parser.add_argument("--dataset_subset", default="all", help="Dataset slice to load: a country (usa, india), a disaster name, 'all', or one of the special splits (harveyflorence, harveyonflorence, testing)")
+    parser.add_argument("--dataset_dem", required=True, help="DEM resolution policy: 'best' picks each tile's finest available DEM, 'same' uses a uniform resolution everywhere")
+    parser.add_argument("--use_test_data", action="store_true", default=False, help="Evaluate on the held-out test split rather than the validation split")
+    parser.add_argument("--data_path", required=True, help="Root directory of the on-disk dataset (contains dataset_input/, dataset_output/, ...)")
+    parser.add_argument("--resize", type=int, default=None, help="Bicubic-resize images to this size first (runs before any crop)")
+    parser.add_argument("--crop", type=int, default=None, help="Tile each (possibly resized) image into this many equal quadrant crops, each treated as a separate sample")
+    parser.add_argument("--crop_index", type=int, default=0, help="Quadrant index to select when plotting a cropped image")
+    parser.add_argument("--topography", default=None, help="Extra input channels beyond RGB: all, dem, map, flow, or river (omit for RGB-only)")
+    parser.add_argument("--pretrained_model_path", required=True, help="Checkpoint file of the trained generator to evaluate")
+    parser.add_argument("--plot_losses", action="store_true", default=False, help="Render the stored loss history to a figure")
+    parser.add_argument("--plot_sample_images", action="store_true", default=False, help="Render sample input/ground-truth/output grids from the train and eval splits")
+    parser.add_argument("--num_images", type=int, default=5, help="How many samples to include in the sample-image grids")
+    parser.add_argument("--seed", type=int, default=47, help="Seed for the stochastic-eval generator passes")
+    parser.add_argument("--image_name", default=None, help="Dataset image name to run through the generator")
+    parser.add_argument("--plot_single_image", default=None, help="Save one panel only: input, ground truth, output, or attention mask")
+    parser.add_argument("--plot_image_set", action="store_true", default=False, help="Save the full panel set (input / ground truth / output, plus attention mask for attention models)")
+    parser.add_argument("--calculate_metrics", action="store_true", default=False, help="Compute the image + flood-mask metric suite and write it to CSV")
+    parser.add_argument("--segmentation_model_path", default=None, help="U-Net segmentation checkpoint used to derive flood masks for the mask metrics")
     # TPU-native extensions
     parser.add_argument("--metadata_dir", default=None, help="Directory holding dataset_split.csv (defaults to ./metadata like the reference)")
     parser.add_argument("--lpips_weights", default=None, help="Path to LPIPS weights npz (see floodgan_tpu/utils/export_lpips.py)")

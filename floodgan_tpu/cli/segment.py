@@ -7,19 +7,19 @@ import os
 
 
 def build_parser() -> argparse.ArgumentParser:
-    parser = argparse.ArgumentParser(description="Train (or evaluate) the flood segmentation model")
-    parser.add_argument("--train", action="store_true", default=False, help="Train the model, else evaluate a pre-trained model")
-    parser.add_argument("--dataset_subset", required=True, help="Specify the dataset subset, either 'USA' or 'India'")
-    parser.add_argument("--train_on_all", action="store_true", default=False, help="Whether the model should train on the full dataset (e.g. for deployment, not evaluation)")
-    parser.add_argument("--data_path", required=True, help="The path to the location of the data folder. Example: 'C:/data'")
-    parser.add_argument("--num_epochs", type=int, default=1, help="Number of epochs to train for")
-    parser.add_argument("--save_model_interval", type=int, default=0, help="Save the model every given number of epochs. Set to 0 if you don't want to save the model")
-    parser.add_argument("--save_images_interval", type=int, default=0, help="Save some sample generator outputs every given number of epochs Set to 0 if you don't want to save images")
-    parser.add_argument("--verbose", default=False, action="store_true", help="Print out the losses on every epoch")
-    parser.add_argument("--pretrained_model_path", default=None, help="When evaluating (train==False), this path must point to a pre-trained model")
-    parser.add_argument("--plot_mask_image", default=None, help="Plot and save the mask generated from the image at the given path")
-    parser.add_argument("--seed", type=int, default=47, help="The random seed to initialise the models")
-    parser.add_argument("--use_test_data", action="store_true", default=False, help="Use the test dataset instead of the validation dataset.")
+    parser = argparse.ArgumentParser(description="Training and evaluation for the flood-mask segmentation U-Net")
+    parser.add_argument("--train", action="store_true", default=False, help="Run training; without this flag the CLI evaluates an existing checkpoint")
+    parser.add_argument("--dataset_subset", required=True, help="Mask dataset slice: usa or india")
+    parser.add_argument("--train_on_all", action="store_true", default=False, help="Train on every mask sample with no held-out splits (deployment runs)")
+    parser.add_argument("--data_path", required=True, help="Root directory of the on-disk dataset (contains dataset_input/, dataset_output/, ...)")
+    parser.add_argument("--num_epochs", type=int, default=1, help="Total number of training epochs")
+    parser.add_argument("--save_model_interval", type=int, default=0, help="Checkpoint every N epochs (0 disables checkpointing)")
+    parser.add_argument("--save_images_interval", type=int, default=0, help="Write a grid of sample generator outputs every N epochs (0 disables)")
+    parser.add_argument("--verbose", default=False, action="store_true", help="Log per-epoch losses and timings to stdout")
+    parser.add_argument("--pretrained_model_path", default=None, help="Segmentation checkpoint to evaluate (required without --train)")
+    parser.add_argument("--plot_mask_image", default=None, help="Run mask inference on one image file and save the thresholded result")
+    parser.add_argument("--seed", type=int, default=47, help="Seed for parameter initialisation and data ordering")
+    parser.add_argument("--use_test_data", action="store_true", default=False, help="Evaluate on the held-out test split rather than the validation split")
     # TPU-native extensions
     parser.add_argument("--batch_size", type=int, default=1, help="Per-step global batch size (the reference hardcodes 1)")
     parser.add_argument("--metadata_dir", default=None, help="Directory holding masks_metadata.csv (defaults to ./metadata like the reference)")

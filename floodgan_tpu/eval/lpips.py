@@ -97,18 +97,45 @@ class LPIPS:
 _warned = False
 
 
+def _asset_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets",
+        "lpips_alex.npz",
+    )
+
+
 def load_lpips(weights_path: Optional[str] = None) -> Optional[LPIPS]:
-    """Load LPIPS weights from ``weights_path`` or $FLOODGAN_LPIPS_WEIGHTS.
-    Returns None (with a one-time warning) when unavailable."""
+    """Load LPIPS weights.  Search order: explicit ``weights_path`` →
+    $FLOODGAN_LPIPS_WEIGHTS → the repo asset ``floodgan_tpu/assets/
+    lpips_alex.npz`` → a one-time auto-export via the ``lpips`` package if
+    it is importable on this machine (written to the asset path for next
+    time).  Returns None (with a one-time warning) when none work; the
+    evaluators then report NaN in the LPIPS column, schema preserved."""
     global _warned
-    path = weights_path or os.environ.get("FLOODGAN_LPIPS_WEIGHTS")
-    if path and os.path.isfile(path):
-        return LPIPS(dict(np.load(path)))
+    candidates = [
+        weights_path,
+        os.environ.get("FLOODGAN_LPIPS_WEIGHTS"),
+        _asset_path(),
+    ]
+    for path in candidates:
+        if path and os.path.isfile(path):
+            return LPIPS(dict(np.load(path)))
+    try:  # networked dev machine with `pip install lpips`: convert once
+        from floodgan_tpu.utils.export_lpips import export
+
+        os.makedirs(os.path.dirname(_asset_path()), exist_ok=True)
+        export(_asset_path())
+        return LPIPS(dict(np.load(_asset_path())))
+    except Exception:
+        pass
     if not _warned:
         warnings.warn(
-            "LPIPS weights not found (set FLOODGAN_LPIPS_WEIGHTS to an npz "
-            "exported via floodgan_tpu/utils/export_lpips.py); LPIPS column "
-            "will be NaN."
+            "LPIPS weights not found: looked for FLOODGAN_LPIPS_WEIGHTS, the "
+            f"repo asset {_asset_path()}, and an importable `lpips` package "
+            "(auto-export).  Run floodgan_tpu/utils/export_lpips.py on a "
+            "networked machine and commit the npz; the LPIPS column is NaN "
+            "until then."
         )
         _warned = True
     return None

@@ -43,13 +43,15 @@ def build_generator(model: str, input_channels: int, dropout_rate: float = 0.5) 
     cls = _GENERATORS[model]
     if cls is Pix2PixGenerator:
         return cls(input_channels=input_channels, dropout_rate=dropout_rate)
-    # Trunk unroll policy: paired strategies compile one generator graph
-    # (full unroll is affordable and ~9% faster at 512^2); cycle strategies
-    # trace 6+ generator applies per step, so keep the trunk rolled to
-    # bound compile time.  FLOODGAN_TRUNK_UNROLL overrides.
-    from floodgan_tpu.core.config import model_is_cycle
-
-    unroll = 1 if model_is_cycle(model) else 9
+    # Trunk unroll policy: fully unrolled everywhere.  The rolled
+    # (lax.scan) trunk bounds compile time but breaks cross-block fusion —
+    # measured on v5e at 512^2 batch 4, the cycle step runs 8.0 samples/s
+    # unrolled vs 6.3 rolled (per-block converts, dynamic slices, and
+    # while-loop overhead dominate the rolled loop; BENCH_NOTES round 2).
+    # Set FLOODGAN_TRUNK_UNROLL=1 to bound compile time on slow-compile
+    # environments (e.g. the tunneled dev backend, where the unrolled
+    # cycle step takes ~15 min to compile the first time).
+    unroll = 9
     return cls(input_channels=input_channels, trunk_unroll=unroll)
 
 

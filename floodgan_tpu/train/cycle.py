@@ -51,9 +51,13 @@ class ImageBuffer(flax.struct.PyTreeNode):
     count: jax.Array   # () int32
 
     @staticmethod
-    def create(capacity: int, h: int, w: int, c: int) -> "ImageBuffer":
+    def create(capacity: int, h: int, w: int, c: int, dtype=jnp.float32) -> "ImageBuffer":
+        # Under the bf16 compute policy the buffer stores bf16: the
+        # discriminator casts its input to bf16 anyway, so the stored
+        # values are exactly what D would see — at half the HBM footprint
+        # (a 50-slot 512^2x9 buffer is 236MB in f32).
         return ImageBuffer(
-            images=jnp.zeros((capacity, h, w, c), jnp.float32),
+            images=jnp.zeros((capacity, h, w, c), dtype),
             count=jnp.zeros((), jnp.int32),
         )
 
@@ -69,12 +73,13 @@ class ImageBuffer(flax.struct.PyTreeNode):
         store_ix = jnp.where(not_full, self.count, rand_ix)
         old = self.images[store_ix]
         do_store = not_full | (p > 0.5)
-        new_images = jnp.where(
-            do_store,
-            self.images.at[store_ix].set(image),
-            self.images,
-        )
-        returned = jnp.where(not_full | (p <= 0.5), image, old)
+        # Always write ONE slot (the kept value when not storing), never a
+        # whole-buffer select: the previous where(do_store, set(...), images)
+        # materialized a full (cap,H,W,C) select per query — ~240MB of HBM
+        # traffic per item at 512^2.
+        slot_val = jnp.where(do_store, image.astype(self.images.dtype), old)
+        new_images = self.images.at[store_ix].set(slot_val)
+        returned = jnp.where(not_full | (p <= 0.5), image, old.astype(image.dtype))
         return (
             ImageBuffer(new_images, jnp.where(not_full, self.count + 1, self.count)),
             returned,
@@ -139,6 +144,14 @@ class CycleTrainer:
             return tree
         return jax.tree_util.tree_map(lambda p: p.astype(self.compute_dtype), tree)
 
+    def _maybe_remat(self, fwd):
+        if self.remat:
+            if self.remat_policy == "convs":
+                policy = lambda prim, *_, **__: prim.name == "conv_general_dilated"
+                return jax.checkpoint(fwd, policy=policy)
+            return jax.checkpoint(fwd)
+        return fwd
+
     def gen_apply(self, params, x):
         def fwd(p, xx):
             out = self.generator.apply(
@@ -147,12 +160,34 @@ class CycleTrainer:
             out = out[0] if self.returns_mask else out
             return out.astype(jnp.float32)
 
-        if self.remat:
-            if self.remat_policy == "convs":
-                policy = lambda prim, *_, **__: prim.name == "conv_general_dilated"
-                return jax.checkpoint(fwd, policy=policy)(params, x)
-            return jax.checkpoint(fwd)(params, x)
-        return fwd(params, x)
+        return self._maybe_remat(fwd)(params, x)
+
+    def gen_apply_pair(self, stacked_params, x2):
+        """Both generators as ONE two-group application: params stacked on a
+        leading axis of 2, inputs (2, B, H, W, C).  vmap lowers the paired
+        convolutions to grouped convs — one generator graph instead of two,
+        which halves the rolled-trunk loop overhead and runs the MXU at
+        effective batch 2B (the cycle step's four generator forwards become
+        two; measured in BENCH_NOTES round 2)."""
+
+        def fwd(p, xx):
+            def single(pp, xs):
+                out = self.generator.apply({"params": pp}, xs)
+                out = out[0] if self.returns_mask else out
+                return out
+
+            out = jax.vmap(single)(self._cast(p), xx.astype(self.compute_dtype))
+            return out.astype(jnp.float32)
+
+        return self._maybe_remat(fwd)(stacked_params, x2)
+
+    def disc_apply_pair(self, stacked_params, x2):
+        def single(pp, xs):
+            return self.discriminator.apply({"params": pp}, xs)
+
+        return jax.vmap(single)(
+            self._cast(stacked_params), x2.astype(self.compute_dtype)
+        ).astype(jnp.float32)
 
     def disc_apply(self, params, x):
         return self.discriminator.apply(
@@ -176,8 +211,8 @@ class CycleTrainer:
             disc_params=disc_params,
             gen_opt=self.tx.init(gen_params),
             disc_opt=self.tx.init(disc_params),
-            pre_buffer=ImageBuffer.create(cap, h, w, self.input_channels),
-            post_buffer=ImageBuffer.create(cap, h, w, self.input_channels),
+            pre_buffer=ImageBuffer.create(cap, h, w, self.input_channels, self.compute_dtype),
+            post_buffer=ImageBuffer.create(cap, h, w, self.input_channels, self.compute_dtype),
         )
 
     def _with_condition(self, rgb, conditions):
@@ -194,21 +229,30 @@ class CycleTrainer:
         conditions = input_stack[..., 3:]            # (B,H,W,C-3)
         real_post = self._with_condition(output_image, conditions)
 
+        stack_pair = lambda a, b: jax.tree_util.tree_map(
+            lambda u, v: jnp.stack([u, v]), a, b
+        )
+
         # ---- generator update (reference model.py:693-714) ----
+        # The four generator forwards run as two 2-group applications
+        # (G_ab and G_ba stacked), the two discriminator reads as one.
         def g_loss_fn(gp):
-            synthetic_post = self.gen_apply(gp["ab"], real_pre)
-            synthetic_pre = self.gen_apply(gp["ba"], real_post)
+            gboth = stack_pair(gp["ab"], gp["ba"])
+            syn = self.gen_apply_pair(gboth, jnp.stack([real_pre, real_post]))
+            synthetic_post, synthetic_pre = syn[0], syn[1]
             synthetic_post_c = self._with_condition(synthetic_post, conditions)
             synthetic_pre_c = self._with_condition(synthetic_pre, conditions)
-            recreated_post = self.gen_apply(gp["ab"], synthetic_pre_c)
-            recreated_pre = self.gen_apply(gp["ba"], synthetic_post_c)
+            rec = self.gen_apply_pair(
+                gboth, jnp.stack([synthetic_pre_c, synthetic_post_c])
+            )
+            recreated_post, recreated_pre = rec[0], rec[1]
 
-            post_gen_loss = lsgan_mse(
-                self.disc_apply(state.disc_params["post"], synthetic_post_c), 1.0
+            dboth = stack_pair(state.disc_params["post"], state.disc_params["pre"])
+            pred = self.disc_apply_pair(
+                dboth, jnp.stack([synthetic_post_c, synthetic_pre_c])
             )
-            pre_gen_loss = lsgan_mse(
-                self.disc_apply(state.disc_params["pre"], synthetic_pre_c), 1.0
-            )
+            post_gen_loss = lsgan_mse(pred[0], 1.0)
+            pre_gen_loss = lsgan_mse(pred[1], 1.0)
             pre_to_post_cycle = l1_loss(recreated_pre, real_pre[..., :3]) * cfg.cycle_weight
             post_to_pre_cycle = l1_loss(recreated_post, real_post[..., :3]) * cfg.cycle_weight
             total = post_gen_loss + pre_gen_loss + pre_to_post_cycle + post_to_pre_cycle
@@ -219,8 +263,9 @@ class CycleTrainer:
                 "losses_post_to_pre_cycle": post_to_pre_cycle,
             }
             if self.add_identity_loss:
-                identity_post = l1_loss(self.gen_apply(gp["ab"], real_post), real_post[..., :3]) * cfg.identity_weight
-                identity_pre = l1_loss(self.gen_apply(gp["ba"], real_pre), real_pre[..., :3]) * cfg.identity_weight
+                ident = self.gen_apply_pair(gboth, jnp.stack([real_post, real_pre]))
+                identity_post = l1_loss(ident[0], real_post[..., :3]) * cfg.identity_weight
+                identity_pre = l1_loss(ident[1], real_pre[..., :3]) * cfg.identity_weight
                 total = total + identity_post + identity_pre
                 aux["losses_identity_post"] = identity_post
                 aux["losses_identity_pre"] = identity_pre
@@ -243,11 +288,22 @@ class CycleTrainer:
         )
 
         # ---- discriminator update (reference model.py:726-739) ----
+        # All four discriminator reads as ONE 2-group application: reals and
+        # buffered synthetics concatenated on the batch axis per direction.
         def d_loss_fn(dp):
-            loss_real_pre = lsgan_mse(self.disc_apply(dp["pre"], real_pre), 1.0)
-            loss_syn_pre = lsgan_mse(self.disc_apply(dp["pre"], buffered_pre), 0.0)
-            loss_real_post = lsgan_mse(self.disc_apply(dp["post"], real_post), 1.0)
-            loss_syn_post = lsgan_mse(self.disc_apply(dp["post"], buffered_post), 0.0)
+            dboth = stack_pair(dp["pre"], dp["post"])
+            b = real_pre.shape[0]
+            x2 = jnp.stack(
+                [
+                    jnp.concatenate([real_pre, buffered_pre.astype(real_pre.dtype)], axis=0),
+                    jnp.concatenate([real_post, buffered_post.astype(real_post.dtype)], axis=0),
+                ]
+            )
+            pred = self.disc_apply_pair(dboth, x2)
+            loss_real_pre = lsgan_mse(pred[0, :b], 1.0)
+            loss_syn_pre = lsgan_mse(pred[0, b:], 0.0)
+            loss_real_post = lsgan_mse(pred[1, :b], 1.0)
+            loss_syn_post = lsgan_mse(pred[1, b:], 0.0)
             total = (loss_real_pre + loss_syn_pre) * cfg.disc_weight + (
                 loss_real_post + loss_syn_post
             ) * cfg.disc_weight

@@ -124,3 +124,48 @@ def test_lpips_contract(rng):
     assert d_same.shape == (2,)
     np.testing.assert_allclose(d_same, 0.0, atol=1e-6)
     assert (d_diff > 0).all()
+
+
+def test_lpips_math_matches_torch_replication(rng):
+    """Cross-framework golden: our LPIPS vs a raw-torch replication of the
+    lpips-package/torchmetrics formula (scaling layer, AlexNet feature
+    taps, channel unit-normalization, squared diff, non-negative 1x1
+    heads, spatial mean, sum) with IDENTICAL synthetic weights.  With the
+    pretrained npz dropped in, value parity follows from this math parity
+    (the real weights can't ship from an offline build host — see
+    eval/lpips.py docstring)."""
+    import torch
+    import torch.nn.functional as F
+
+    w = _synthetic_lpips_weights(rng)
+    metric = LPIPS(w)
+    x = rng.random((2, 33, 47, 3), dtype=np.float32) * 2 - 1
+    y = rng.random((2, 33, 47, 3), dtype=np.float32) * 2 - 1
+
+    shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+    cfg = [(11, 4, 2, False), (5, 1, 2, True), (3, 1, 1, True),
+           (3, 1, 1, False), (3, 1, 1, False)]
+
+    def feats_t(img):
+        t = (torch.from_numpy(img).permute(0, 3, 1, 2) - shift) / scale
+        taps = []
+        for i, (_, stride, pad, pool) in enumerate(cfg):
+            if pool:
+                t = F.max_pool2d(t, 3, 2)
+            wt = torch.from_numpy(w[f"conv{i}_w"]).permute(3, 2, 0, 1)
+            t = F.relu(F.conv2d(t, wt, torch.from_numpy(w[f"conv{i}_b"]),
+                                stride=stride, padding=pad))
+            taps.append(t)
+        return taps
+
+    total = torch.zeros(2)
+    for i, (fp, ft) in enumerate(zip(feats_t(x), feats_t(y))):
+        fp = fp / torch.sqrt((fp * fp).sum(1, keepdim=True) + 1e-10)
+        ft = ft / torch.sqrt((ft * ft).sum(1, keepdim=True) + 1e-10)
+        d = (fp - ft) ** 2
+        lin = torch.from_numpy(w[f"lin{i}_w"]).permute(3, 2, 0, 1).clamp(min=0)
+        total = total + F.conv2d(d, lin).mean(dim=(1, 2, 3))
+
+    ours = np.asarray(metric(jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(ours, total.numpy(), rtol=2e-4, atol=2e-5)
