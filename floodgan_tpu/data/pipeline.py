@@ -223,18 +223,27 @@ class BatchLoader:
             pending: "collections.deque" = collections.deque()
             bi = 0
 
+            def produce(idx_batch):
+                # Decode AND device-side transform + H2D on the worker
+                # thread: with prefetch depth > 1 the next batches' host
+                # decode, transfer, and jitted transform dispatch overlap
+                # the consumer's train step (JAX dispatch is thread-safe
+                # and async).  Previously _assemble ran on the consumer
+                # thread at yield time, serializing H2D with the step.
+                return self._assemble(idx_batch, self._load_raw_batch(idx_batch))
+
             def submit(idx_batch):
-                return pool.submit(self._load_raw_batch, idx_batch)
+                return pool.submit(produce, idx_batch)
 
             while bi < len(batches) and len(pending) < self.prefetch:
-                pending.append((batches[bi], submit(batches[bi])))
+                pending.append(submit(batches[bi]))
                 bi += 1
             while pending:
-                idx_batch, future = pending.popleft()
+                future = pending.popleft()
                 if bi < len(batches):
-                    pending.append((batches[bi], submit(batches[bi])))
+                    pending.append(submit(batches[bi]))
                     bi += 1
-                yield self._assemble(idx_batch, future.result())
+                yield future.result()
 
     def __iter__(self) -> Iterator[Batch]:
         return self.epoch_iter(0)
@@ -262,6 +271,16 @@ class BatchLoader:
     def _assemble(self, idx_batch, raws) -> Batch:
         inputs = np.stack([r[0] for r in raws])
         outputs = np.stack([r[1] for r in raws])
+        if os.environ.get("FLOODGAN_WIRE_DTYPE") == "bfloat16":
+            # Halve the host->device bytes of the raw (pre-resize) stacks:
+            # pixel data in [0,1] keeps 8 mantissa bits, which is beyond
+            # the ~7.x bits of the source imagery; the device transform
+            # upcasts to f32 immediately.  Off by default (f32 wire) —
+            # golden transform parity is pinned in f32.
+            import ml_dtypes
+
+            inputs = inputs.astype(ml_dtypes.bfloat16)
+            outputs = outputs.astype(ml_dtypes.bfloat16)
         flips = np.array([r[2] for r in raws], dtype=bool)
         crops = np.array([r[3] for r in raws], dtype=np.int32)
         names = [self.dataset.name(int(i)) for i in idx_batch]

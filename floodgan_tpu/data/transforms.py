@@ -72,7 +72,12 @@ def apply_transformations_batch(
 ) -> Tuple[jax.Array, jax.Array]:
     """Batched twin of reference utils.apply_transformations plus the
     load-time fliplr (reference models/data.py:63-68): flip -> channel
-    slice -> resize -> quadrant crop -> normalise to [-1, 1]."""
+    slice -> resize -> quadrant crop -> normalise to [-1, 1].
+
+    Inputs may arrive bf16 (FLOODGAN_WIRE_DTYPE=bfloat16 halves the
+    host->device transfer of the raw stacks); compute is f32 either way."""
+    input_stack = input_stack.astype(jnp.float32)
+    output_image = output_image.astype(jnp.float32)
     input_stack = jnp.where(
         flip[:, None, None, None], jnp.flip(input_stack, axis=2), input_stack
     )

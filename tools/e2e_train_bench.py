@@ -41,6 +41,44 @@ def main():
     n_train = len(model.train_loader.dataset)
     print(f"train samples: {n_train}, batch {batch}")
 
+    # ---- component breakdown (measured, not claimed) ----
+    import jax
+
+    loader = model.train_loader
+    # decode only (host threads, C++ decoder when built)
+    t0 = time.time()
+    order = np.arange(n_train)
+    nb = 0
+    for i in range(0, n_train, batch):
+        loader._load_raw_batch(order[i : i + batch])
+        nb += len(order[i : i + batch])
+    t_decode = time.time() - t0
+    print(f"breakdown/decode-only:        {nb / t_decode:7.1f} samples/s")
+    # decode + device transform + H2D (full loader, prefetch threads)
+    for _ in loader.epoch_iter(0):
+        pass  # warm the transform jit
+    t0 = time.time()
+    last = None
+    for b in loader.epoch_iter(1):
+        last = b
+    jax.block_until_ready(last["input"])
+    t_loader = time.time() - t0
+    print(f"breakdown/loader (dec+xform+H2D): {n_train / t_loader:7.1f} samples/s")
+    # train step only (device-resident batch)
+    st, bt = model.state, last
+    model.state, m = model.trainer.train_step(
+        model.state, bt["input"], bt["output"], np.float32(2e-4), jax.random.key(0)
+    )
+    float(jax.device_get(next(iter(m.values()))))  # compile + sync
+    t0 = time.time()
+    for i in range(10):
+        model.state, m = model.trainer.train_step(
+            model.state, bt["input"], bt["output"], np.float32(2e-4), jax.random.key(i)
+        )
+    float(jax.device_get(next(iter(m.values()))))
+    t_step = (time.time() - t0) / 10
+    print(f"breakdown/train-step-only:    {batch / t_step:7.1f} samples/s")
+
     times = []
     t_all = time.time()
     orig_save = model.save_results
