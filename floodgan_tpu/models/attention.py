@@ -56,7 +56,7 @@ class AttentionGenerator(nn.Module):
         c = TorchConvTranspose(64, 3, 2, 1, output_padding=1, name="deconv2_content")(c)
         c = ops.instance_norm_act(c, relu=True)
         c = ops.reflect_pad2d(c, 3)
-        content = jnp.tanh(TorchConv(27, 7, 1, 0, name="deconv3_content")(c))
+        content_r = TorchConv(27, 7, 1, 0, name="deconv3_content")(c, phases=True)
 
         # --- attention head: 10 mask logits (softmax inside the fused
         # composition, reference model_architectures.py:227-228) ---
@@ -64,13 +64,43 @@ class AttentionGenerator(nn.Module):
         a = ops.instance_norm_act(a, relu=True)
         a = TorchConvTranspose(64, 3, 2, 1, output_padding=1, name="deconv2_attention")(a)
         a = ops.instance_norm_act(a, relu=True)
-        attn_logits = TorchConv(10, 1, 1, 0, name="deconv3_attention")(a)
+        attn_r = TorchConv(10, 1, 1, 0, name="deconv3_attention")(a, phases=True)
 
-        # --- compose: softmax + 9 content*mask products + background blend
-        # (Pallas epilogue on TPU, jnp elsewhere) ---
+        # --- compose: softmax + 9 content*mask products + background blend.
+        # At large resolutions both head convs come back in PHASE SPACE
+        # (2x2 space-to-depth, ops/nn_ops.py) and the pointwise compose runs
+        # there too — 108/40-channel tensors at H/2 x W/2 instead of
+        # 27/10-channel at H x W (4x the MXU/VPU lane utilization), with a
+        # single depth-to-space for the final RGB + mask.  Same math: the
+        # compose is per-pixel, so phase grouping only permutes pixels.
         from floodgan_tpu.core.flags import use_pallas
         from floodgan_tpu.ops import pallas_kernels as pk
+        from floodgan_tpu.ops.nn_ops import (
+            depth_to_space_phases,
+            space_to_depth_phases,
+        )
 
+        if content_r[0] == "phases" and attn_r[0] == "phases":
+            _, content_p, out_h, out_w = content_r
+            _, attn_p, _, _ = attn_r
+            n, h2, w2, _ = content_p.shape
+            content_p = jnp.tanh(content_p).reshape(n, h2, w2, 4, 9, 3)
+            logits_p = attn_p.reshape(n, h2, w2, 4, 10)
+            rgb_p = space_to_depth_phases(x[..., :3]).reshape(n, h2, w2, 4, 3)
+            attn = jax.nn.softmax(logits_p.astype(jnp.float32), axis=-1)
+            attn = attn.astype(content_p.dtype)
+            fg = jnp.einsum("nhwpkc,nhwpk->nhwpc", content_p, attn[..., :9])
+            out_p = fg + rgb_p.astype(content_p.dtype) * attn[..., 9:10]
+            output = depth_to_space_phases(
+                out_p.reshape(n, h2, w2, 4 * 3), out_h, out_w, 3
+            )
+            background_mask = depth_to_space_phases(
+                attn[..., 9].reshape(n, h2, w2, 4), out_h, out_w, 1
+            )[..., 0]
+            return output, background_mask
+
+        content = jnp.tanh(content_r[1])
+        attn_logits = attn_r[1]
         compose = pk.attention_compose if use_pallas("compose") else pk._attention_compose_jnp
         output, background_mask = compose(content, attn_logits, x[..., :3])
         return output, background_mask

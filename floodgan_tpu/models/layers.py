@@ -21,7 +21,13 @@ def bn_scale_init(key, shape, dtype=jnp.float32):
 
 
 class TorchConv(nn.Module):
-    """nn.Conv2d twin (HWIO kernel, cross-correlation)."""
+    """nn.Conv2d twin (HWIO kernel, cross-correlation).
+
+    ``__call__(x, phases=True)`` asks for phase-space output when the
+    phase-fold lowering applies (see ops/nn_ops.py): returns
+    ("phases", p, out_h, out_w) with p = (n, out_h/2, out_w/2, 4*features),
+    or ("full", y) when ineligible — parameters are identical either way,
+    so checkpoints don't care which path ran."""
 
     features: int
     kernel: int
@@ -30,12 +36,23 @@ class TorchConv(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, phases: bool = False):
+        from floodgan_tpu.ops.nn_ops import (
+            _conv2d_phasefold_phases,
+            _phasefold_eligible,
+        )
+
         w = self.param(
             "weight", conv_init, (self.kernel, self.kernel, x.shape[-1], self.features)
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
-        return ops.conv2d(x, w, b, stride=self.stride, padding=self.padding)
+        if phases and _phasefold_eligible(x, w, self.stride, self.padding):
+            p, out_h, out_w = _conv2d_phasefold_phases(x, w, self.padding)
+            if b is not None:
+                p = p + jnp.tile(b, 4)
+            return "phases", p, out_h, out_w
+        y = ops.conv2d(x, w, b, stride=self.stride, padding=self.padding)
+        return ("full", y) if phases else y
 
 
 class TorchConvTranspose(nn.Module):

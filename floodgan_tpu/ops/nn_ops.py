@@ -48,6 +48,8 @@ def conv2d(
     kh, kw, _, cout = w.shape
     if _phasefold_eligible(x, w, stride, padding):
         out = _conv2d_phasefold(x, w, padding)
+    elif _phasefold_s2_eligible(x, w, stride, padding):
+        out = _conv2d_phasefold_s2(x, w, padding)
     else:
         out = lax.conv_general_dilated(
             x,
@@ -84,6 +86,72 @@ def _phasefold_eligible(x, w, stride: int, padding: int) -> bool:
     return _phasefold_enabled()
 
 
+def _phasefold_s2_eligible(x, w, stride: int, padding: int) -> bool:
+    """Strided variant: a k x k stride-2 conv over thin inputs (the 9/12-ch
+    PatchGAN/pix2pix encoder stems) becomes a (k+1)//2-kernel stride-1 conv
+    over the 4C space-to-depth channels — same FLOPs, 4x the input-channel
+    depth (sublane utilization).
+
+    Measured on v5e (BENCH_NOTES round 2): +0.5 samples/s for the attention
+    family but -8 for pix2pix (whose step is dominated by these stem convs
+    and pays the s2d reshuffle without enough conv time to win back), i.e.
+    net-neutral to negative across the model zoo — so this path is opt-in
+    via FLOODGAN_PHASEFOLD_S2=1 rather than automatic."""
+    import os
+
+    if os.environ.get("FLOODGAN_PHASEFOLD_S2") != "1":
+        return False
+    kh, kw, cin, cout = w.shape
+    if stride != 2 or kh != kw or cin >= 16:
+        return False
+    n, h, wd, c = x.shape
+    if (h + 2 * padding) % 2 or (wd + 2 * padding) % 2:
+        return False
+    out_h = (h + 2 * padding - kh) // 2 + 1
+    out_w = (wd + 2 * padding - kw) // 2 + 1
+    if min(out_h, out_w) < 128:
+        return False
+    return _phasefold_enabled()
+
+
+def _phasefold_s2_onehot(kh: int, kw: int, kb: int):
+    """Routing tensor for the stride-2 variant (single output phase):
+    original tap (j, k) lands at folded-kernel block (j//2, k//2), reading
+    input phase (j%2)*2 + (k%2)."""
+    import numpy as np
+
+    T = np.zeros((kh, kw, kb, kb, 4), np.float32)
+    for j in range(kh):
+        for k in range(kw):
+            T[j, k, j // 2, k // 2, (j % 2) * 2 + (k % 2)] = 1.0
+    return T
+
+
+def _conv2d_phasefold_s2(x: jax.Array, w: jax.Array, padding: int) -> jax.Array:
+    """Stride-2 conv2d on 2x2 space-to-depth inputs: out[t, u] =
+    sum_{j,k} w[j, k] x[2t+j, 2u+k] reads s2d block (t + j//2, u + k//2)
+    at phase ((j%2), (k%2)) — an ordinary stride-1 conv with kernel
+    (k+1)//2 over 4C channels.  Numerically the same conv."""
+    kh, kw, cin, cout = w.shape
+    if padding:
+        x = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    n, H, W, C = x.shape
+    out_h, out_w = (H - kh) // 2 + 1, (W - kw) // 2 + 1
+    kb = (kh + 1) // 2
+    # taps may reach block t + kb - 1 with t up to out_h-1: need H//2 + pad
+    need = out_h - 1 + kb
+    xs = space_to_depth_phases(
+        jnp.pad(x, ((0, 0), (0, max(0, 2 * need - H)), (0, max(0, 2 * need - W)), (0, 0)))
+    )
+    T = jnp.asarray(_phasefold_s2_onehot(kh, kw, kb), w.dtype)
+    wk = jnp.einsum("jkbcp,jkiz->bcpiz", T, w, optimize=True)
+    wk = wk.reshape(kb, kb, 4 * C, cout)
+    out = lax.conv_general_dilated(
+        xs, wk, (1, 1), "VALID", dimension_numbers=DIMSPEC
+    )
+    return out[:, :out_h, :out_w]
+
+
 def _phasefold_onehot(kh: int, kw: int, kb: int):
     """Constant routing tensor T[of, j, k, bj, bk, pin] ∈ {0,1}: original
     tap (j, k) for output phase of=(r*2+c) lands at block (bj, bk) of the
@@ -100,22 +168,18 @@ def _phasefold_onehot(kh: int, kw: int, kb: int):
     return T
 
 
-def _conv2d_phasefold(x: jax.Array, w: jax.Array, padding: int) -> jax.Array:
-    """Stride-1 conv2d in 2x2 space-to-depth coordinates, all four output
-    phases folded into the channel dim.  out[2t+r, 2u+c] = sum_{j,k}
-    w[j,k] x[2t+r+j, 2u+c+k]: grouping (r+j) and (c+k) by parity turns the
-    k x k conv over C channels into one kb x kb conv over 4C channels with
-    4*cout outputs, kb = k//2 + 1.  Numerically the same conv (golden
-    tested vs the direct lowering); only the accumulation order differs."""
+def _conv2d_phasefold_phases(x: jax.Array, w: jax.Array, padding: int):
+    """Phase-space core of the phase-fold lowering: returns
+    (phases (n, out_h/2, out_w/2, 4*cout), out_h, out_w) with phase-major
+    channel order — channel of*cout+co holds output phase of = r*2+c."""
     kh, kw, cin, cout = w.shape
     if padding:
         x = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
     n, H, W, C = x.shape
     out_h, out_w = H - kh + 1, W - kw + 1
-    x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
-    Hp, Wp = H + H % 2, W + W % 2
-    xs = x.reshape(n, Hp // 2, 2, Wp // 2, 2, C)
-    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, Hp // 2, Wp // 2, 4 * C)
+    xs = space_to_depth_phases(
+        jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+    )
 
     kb = kh // 2 + 1
     T = jnp.asarray(_phasefold_onehot(kh, kw, kb), w.dtype)
@@ -126,8 +190,35 @@ def _conv2d_phasefold(x: jax.Array, w: jax.Array, padding: int) -> jax.Array:
     out = lax.conv_general_dilated(
         xs, wk, (1, 1), "VALID", dimension_numbers=DIMSPEC
     )[:, : out_h // 2, : out_w // 2]
-    out = out.reshape(n, out_h // 2, out_w // 2, 2, 2, cout)
-    return out.transpose(0, 1, 3, 2, 4, 5).reshape(n, out_h, out_w, cout)
+    return out, out_h, out_w
+
+
+def _conv2d_phasefold(x: jax.Array, w: jax.Array, padding: int) -> jax.Array:
+    """Stride-1 conv2d in 2x2 space-to-depth coordinates, all four output
+    phases folded into the channel dim.  out[2t+r, 2u+c] = sum_{j,k}
+    w[j,k] x[2t+r+j, 2u+c+k]: grouping (r+j) and (c+k) by parity turns the
+    k x k conv over C channels into one kb x kb conv over 4C channels with
+    4*cout outputs, kb = k//2 + 1.  Numerically the same conv (golden
+    tested vs the direct lowering); only the accumulation order differs."""
+    out, out_h, out_w = _conv2d_phasefold_phases(x, w, padding)
+    return depth_to_space_phases(out, out_h, out_w, w.shape[3])
+
+
+def space_to_depth_phases(x: jax.Array) -> jax.Array:
+    """(n, H, W, C) -> (n, H/2, W/2, 4C), channel index (r*2+c)*C + ch for
+    spatial phase (r, c) — the phase convention of the phase-fold convs."""
+    n, H, W, C = x.shape
+    xs = x.reshape(n, H // 2, 2, W // 2, 2, C)
+    return xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, H // 2, W // 2, 4 * C)
+
+
+def depth_to_space_phases(p: jax.Array, out_h: int, out_w: int, cout: int) -> jax.Array:
+    """Inverse of :func:`space_to_depth_phases` (with trailing-row/col trim
+    when out_h/out_w are smaller than twice the phase grid)."""
+    n = p.shape[0]
+    p = p.reshape(n, p.shape[1], p.shape[2], 2, 2, cout)
+    out = p.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * p.shape[1], 2 * p.shape[2], cout)
+    return out[:, :out_h, :out_w]
 
 
 def conv_transpose2d(

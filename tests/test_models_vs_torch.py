@@ -175,3 +175,25 @@ def test_unet_bilinear_variant_parity(ref, rng):
     np.testing.assert_allclose(
         np.asarray(out).transpose(0, 3, 1, 2), ref_out.numpy(), atol=3e-4
     )
+
+
+def test_attention_phase_native_tail_matches_plain(rng):
+    """At phase-fold-eligible sizes the attention generator computes its
+    decoder heads + compose in 2x2 phase space; output must equal the
+    plain-lowering path (pointwise compose is permutation-invariant)."""
+    import os
+    from floodgan_tpu.models import AttentionGenerator
+
+    x = jnp.asarray(rng.standard_normal((1, 128, 128, 9), dtype=np.float32) * 0.3)
+    model = AttentionGenerator(input_channels=9, trunk_unroll=9)
+    params = model.init({"params": jax.random.key(0)}, x)
+
+    out_p, mask_p = jax.jit(model.apply)(params, x)
+    os.environ["FLOODGAN_PHASEFOLD"] = "0"
+    try:
+        out_f, mask_f = jax.jit(model.apply)(params, x)
+    finally:
+        del os.environ["FLOODGAN_PHASEFOLD"]
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_f), atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(mask_p), np.asarray(mask_f), atol=3e-5, rtol=1e-4)
+    assert out_p.shape == (1, 128, 128, 3) and mask_p.shape == (1, 128, 128)

@@ -213,3 +213,28 @@ def test_conv2d_phasefold_stem_shape(rng):
     direct = lax.conv_general_dilated(x, w, (1, 1), "VALID", dimension_numbers=DIMSPEC)
     folded = jax.jit(lambda x, w: _conv2d_phasefold(x, w, 0))(x, w)
     np.testing.assert_allclose(np.asarray(folded), np.asarray(direct), atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize(
+    "shape,kern,pad",
+    [
+        ((2, 512, 512, 12), (4, 4, 12, 8), 1),   # PatchGAN conv0 shape (thin out for speed)
+        ((2, 514, 514, 9), (3, 3, 9, 8), 0),     # odd kernel stride-2
+    ],
+)
+def test_conv2d_phasefold_s2_matches_direct(rng, shape, kern, pad, monkeypatch):
+    from floodgan_tpu.ops.nn_ops import _conv2d_phasefold_s2, _phasefold_s2_eligible
+    from jax import lax
+    from floodgan_tpu.ops.nn_ops import DIMSPEC
+
+    x = jnp.asarray(rng.standard_normal(shape, dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal(kern, dtype=np.float32) * 0.1)
+    assert not _phasefold_s2_eligible(x, w, 2, pad)  # opt-in only
+    monkeypatch.setenv("FLOODGAN_PHASEFOLD_S2", "1")
+    assert _phasefold_s2_eligible(x, w, 2, pad)
+    direct = lax.conv_general_dilated(
+        x, w, (2, 2), ((pad, pad), (pad, pad)), dimension_numbers=DIMSPEC
+    )
+    folded = jax.jit(lambda x, w: _conv2d_phasefold_s2(x, w, pad))(x, w)
+    assert folded.shape == direct.shape, (folded.shape, direct.shape)
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(direct), atol=2e-4, rtol=2e-4)
