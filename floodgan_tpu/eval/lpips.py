@@ -6,7 +6,9 @@ which cannot be downloaded in an offline environment, so weights load from
 an ``.npz`` produced by ``floodgan_tpu/utils/export_lpips.py`` on any
 machine with the ``lpips`` package (or torchmetrics) installed.  Set
 ``FLOODGAN_LPIPS_WEIGHTS`` or pass ``weights_path``.  When absent, the
-evaluators report NaN for the LPIPS column (schema preserved) and warn.
+metric falls back to deterministic seed-47 random features (see
+``fallback_weights``) so the column is always live; set
+``FLOODGAN_LPIPS_FALLBACK=0`` to report NaN instead (schema preserved).
 
 Computation (lpips.LPIPS(net='alex'), the torchmetrics default):
   scale inputs by the fixed shift/scale stats; run AlexNet conv features;
@@ -97,6 +99,34 @@ class LPIPS:
 _warned = False
 
 
+def fallback_weights(seed: int = 47) -> Dict[str, np.ndarray]:
+    """Deterministic random-feature LPIPS weights (no download needed).
+
+    The LPIPS paper (Zhang et al. 2018, §5) reports that *untrained*
+    conv features with unit linear heads already correlate strongly with
+    human perceptual judgements; this generates exactly that — He-normal
+    AlexNet-shaped conv stacks and uniform 1/C non-negative heads — from
+    a fixed seed, so every machine computes the identical metric with no
+    weight artifact.  Values are NOT comparable to torchmetrics' trained
+    LPIPS (reference models/model.py:370); provide a real npz (see
+    ``utils/export_lpips.py``) for exact parity.  The fallback is a valid
+    full-reference perceptual distance: 0 iff identical, symmetric, and
+    monotone in feature-space distortion.
+    """
+    rng = np.random.default_rng(seed)
+    out: Dict[str, np.ndarray] = {}
+    cin = 3
+    for i, (cout, k, _, _, _) in enumerate(_ALEX):
+        fan_in = cin * k * k
+        out[f"conv{i}_w"] = rng.normal(
+            0.0, np.sqrt(2.0 / fan_in), size=(k, k, cin, cout)
+        ).astype(np.float32)
+        out[f"conv{i}_b"] = np.zeros((cout,), dtype=np.float32)
+        out[f"lin{i}_w"] = np.full((1, 1, cout, 1), 1.0 / cout, dtype=np.float32)
+        cin = cout
+    return out
+
+
 def _asset_path() -> str:
     return os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -129,13 +159,26 @@ def load_lpips(weights_path: Optional[str] = None) -> Optional[LPIPS]:
         return LPIPS(dict(np.load(_asset_path())))
     except Exception:
         pass
+    if os.environ.get("FLOODGAN_LPIPS_FALLBACK", "1") != "0":
+        if not _warned:
+            warnings.warn(
+                "Pretrained LPIPS weights not found (FLOODGAN_LPIPS_WEIGHTS, "
+                f"repo asset {_asset_path()}, `lpips` auto-export all "
+                "unavailable); using the deterministic random-feature "
+                "fallback (seed 47).  The LPIPS column is live and "
+                "reproducible but NOT numerically comparable to "
+                "torchmetrics' trained LPIPS — export the real npz via "
+                "floodgan_tpu/utils/export_lpips.py for exact parity.  Set "
+                "FLOODGAN_LPIPS_FALLBACK=0 to report NaN instead."
+            )
+            _warned = True
+        return LPIPS(fallback_weights())
     if not _warned:
         warnings.warn(
-            "LPIPS weights not found: looked for FLOODGAN_LPIPS_WEIGHTS, the "
-            f"repo asset {_asset_path()}, and an importable `lpips` package "
-            "(auto-export).  Run floodgan_tpu/utils/export_lpips.py on a "
-            "networked machine and commit the npz; the LPIPS column is NaN "
-            "until then."
+            "LPIPS weights not found and the random-feature fallback is "
+            "disabled (FLOODGAN_LPIPS_FALLBACK=0); the LPIPS column is NaN. "
+            "Run floodgan_tpu/utils/export_lpips.py on a networked machine "
+            "and commit the npz."
         )
         _warned = True
     return None
