@@ -114,82 +114,71 @@ def _phasefold_s2_eligible(x, w, stride: int, padding: int) -> bool:
     return _phasefold_enabled()
 
 
-def _phasefold_s2_onehot(kh: int, kw: int, kb: int):
-    """Routing tensor for the stride-2 variant (single output phase):
-    original tap (j, k) lands at folded-kernel block (j//2, k//2), reading
-    input phase (j%2)*2 + (k%2)."""
-    import numpy as np
+def _phase_embed_kernel(w: jax.Array, shift: int = 1) -> jax.Array:
+    """Embed the four 2x2 output phases of a conv into one kernel.
 
-    T = np.zeros((kh, kw, kb, kb, 4), np.float32)
-    for j in range(kh):
-        for k in range(kw):
-            T[j, k, j // 2, k // 2, (j % 2) * 2 + (k % 2)] = 1.0
-    return T
+    Output phase of = r*2+c of a (possibly strided) conv is the same conv
+    evaluated at positions offset by (r*shift, c*shift) in input space, so
+    placing ``w`` at spatial offset (r*shift, c*shift) inside a
+    (kh+shift, kw+shift) kernel and concatenating the four placements on
+    the output-channel dim (phase-major: channel of*cout+co) yields a
+    kernel K with  conv(x, K, stride=2*orig_stride)[t, u, of*cout+co]
+    = conv(x, w, orig_stride)[2t+r, 2u+c, co].  shift = orig_stride.
+
+    Unlike a space-to-depth rewrite of the *activations*, this touches only
+    the (tiny) kernel — no 6-D transpose copies of multi-MB feature maps
+    (profiled at 15-20 ms/step on v5e before this lowering)."""
+    kh, kw, cin, cout = w.shape
+    blocks = [
+        jnp.pad(w, ((r, shift - r), (c, shift - c), (0, 0), (0, 0)))
+        for r in (0, shift)
+        for c in (0, shift)
+    ]
+    return jnp.concatenate(blocks, axis=3)
 
 
 def _conv2d_phasefold_s2(x: jax.Array, w: jax.Array, padding: int) -> jax.Array:
-    """Stride-2 conv2d on 2x2 space-to-depth inputs: out[t, u] =
-    sum_{j,k} w[j, k] x[2t+j, 2u+k] reads s2d block (t + j//2, u + k//2)
-    at phase ((j%2), (k%2)) — an ordinary stride-1 conv with kernel
-    (k+1)//2 over 4C channels.  Numerically the same conv."""
+    """Phase-folded stride-2 conv: one stride-4 conv with the four output
+    phases embedded in a (k+2, k+2) kernel (``_phase_embed_kernel`` with
+    shift 2), then a pixel interleave.  Numerically the same conv."""
     kh, kw, cin, cout = w.shape
-    if padding:
-        x = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
     n, H, W, C = x.shape
-    out_h, out_w = (H - kh) // 2 + 1, (W - kw) // 2 + 1
-    kb = (kh + 1) // 2
-    # taps may reach block t + kb - 1 with t up to out_h-1: need H//2 + pad
-    need = out_h - 1 + kb
-    xs = space_to_depth_phases(
-        jnp.pad(x, ((0, 0), (0, max(0, 2 * need - H)), (0, max(0, 2 * need - W)), (0, 0)))
-    )
-    T = jnp.asarray(_phasefold_s2_onehot(kh, kw, kb), w.dtype)
-    wk = jnp.einsum("jkbcp,jkiz->bcpiz", T, w, optimize=True)
-    wk = wk.reshape(kb, kb, 4 * C, cout)
+    out_h = (H + 2 * padding - kh) // 2 + 1
+    out_w = (W + 2 * padding - kw) // 2 + 1
+    K = _phase_embed_kernel(w, shift=2)
+    # odd out sizes: 2 extra rows/cols of zero-pad so the last (trimmed)
+    # phase slot has a full window; depth_to_space_phases drops it.
     out = lax.conv_general_dilated(
-        xs, wk, (1, 1), "VALID", dimension_numbers=DIMSPEC
+        x,
+        K,
+        window_strides=(4, 4),
+        padding=(
+            (padding, padding + 2 * (out_h & 1)),
+            (padding, padding + 2 * (out_w & 1)),
+        ),
+        dimension_numbers=DIMSPEC,
     )
-    return out[:, :out_h, :out_w]
-
-
-def _phasefold_onehot(kh: int, kw: int, kb: int):
-    """Constant routing tensor T[of, j, k, bj, bk, pin] ∈ {0,1}: original
-    tap (j, k) for output phase of=(r*2+c) lands at block (bj, bk) of the
-    folded kernel, reading input phase pin=((r+j)%2)*2+((c+k)%2)."""
-    import numpy as np
-
-    T = np.zeros((4, kh, kw, kb, kb, 4), np.float32)
-    for r in (0, 1):
-        for c in (0, 1):
-            for j in range(kh):
-                for k in range(kw):
-                    T[r * 2 + c, j, k, (r + j) // 2, (c + k) // 2,
-                      ((r + j) % 2) * 2 + ((c + k) % 2)] = 1.0
-    return T
+    return depth_to_space_phases(out, out_h, out_w, cout)
 
 
 def _conv2d_phasefold_phases(x: jax.Array, w: jax.Array, padding: int):
     """Phase-space core of the phase-fold lowering: returns
     (phases (n, out_h/2, out_w/2, 4*cout), out_h, out_w) with phase-major
-    channel order — channel of*cout+co holds output phase of = r*2+c."""
+    channel order — channel of*cout+co holds output phase of = r*2+c.
+
+    One stride-2 conv with the phase-embedded (k+1, k+1) kernel; the
+    activations are never rearranged (see ``_phase_embed_kernel``)."""
     kh, kw, cin, cout = w.shape
-    if padding:
-        x = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
     n, H, W, C = x.shape
-    out_h, out_w = H - kh + 1, W - kw + 1
-    xs = space_to_depth_phases(
-        jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
-    )
-
-    kb = kh // 2 + 1
-    T = jnp.asarray(_phasefold_onehot(kh, kw, kb), w.dtype)
-    # wk[bj, bk, pin*C+ci, of*cout+co] = sum_{j,k} T[of,j,k,bj,bk,pin] w[j,k,ci,co]
-    wk = jnp.einsum("fjkbcp,jkiz->bcpifz", T, w, optimize=True)
-    wk = wk.reshape(kb, kb, 4 * C, 4 * cout)
-
+    out_h, out_w = H + 2 * padding - kh + 1, W + 2 * padding - kw + 1
+    K = _phase_embed_kernel(w, shift=1)
     out = lax.conv_general_dilated(
-        xs, wk, (1, 1), "VALID", dimension_numbers=DIMSPEC
-    )[:, : out_h // 2, : out_w // 2]
+        x,
+        K,
+        window_strides=(2, 2),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=DIMSPEC,
+    )
     return out, out_h, out_w
 
 
