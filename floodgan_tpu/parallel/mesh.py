@@ -2,14 +2,22 @@
 
 The reference has no distributed code (single device, batch 1 —
 SURVEY.md §5 'Distributed communication backend: absent').  The TPU-native
-replacement is GSPMD data parallelism over a 1-D ``data`` mesh: batches are
-sharded on their leading axis, parameters/optimizer state are replicated,
-and XLA inserts the gradient all-reduce (psum over ICI) automatically
-because every loss is a mean over the sharded batch axis.  No collective is
-hand-written; scaling to a multi-host pod slice only changes the mesh.
+replacement is GSPMD over a 2-D ``(data, spatial)`` mesh:
 
-Works identically on real TPU meshes and on the CPU test fixture
+- **data**: batches sharded on their leading axis, parameters/optimizer
+  state replicated; XLA inserts the gradient all-reduce (psum over ICI)
+  automatically because every loss is a mean over the sharded batch axis.
+- **spatial**: the image H axis sharded across devices (``shard_images``).
+  This is the model family's sequence-parallel analogue (SURVEY.md §5:
+  no sequence axis exists; resolution is the scaling axis).  GSPMD
+  partitions every convolution with halo exchanges over ICI and inserts
+  the cross-shard all-reduce for instance/batch-norm spatial statistics —
+  no collective is hand-written.
+
+Scaling to a multi-host pod slice only changes the mesh.  Works
+identically on real TPU meshes and on the CPU test fixture
 (--xla_force_host_platform_device_count).
+
 """
 
 from __future__ import annotations
@@ -21,13 +29,24 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(num_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
+def make_mesh(
+    num_devices: Optional[int] = None,
+    devices: Optional[Sequence] = None,
+    spatial: int = 1,
+) -> Mesh:
+    """(data, spatial) mesh over the first ``num_devices`` devices.
+
+    ``spatial`` devices per spatial group (must divide the device count);
+    the default 1 is pure data parallelism.  The mesh is always 2-D so
+    PartitionSpecs naming either axis work unconditionally."""
     devs = list(devices if devices is not None else jax.devices())
     if num_devices is not None:
         if num_devices > len(devs):
             raise ValueError(f"requested {num_devices} devices, have {len(devs)}")
         devs = devs[:num_devices]
-    return Mesh(np.array(devs), ("data",))
+    if spatial < 1 or len(devs) % spatial:
+        raise ValueError(f"spatial={spatial} must divide the {len(devs)}-device mesh")
+    return Mesh(np.array(devs).reshape(-1, spatial), ("data", "spatial"))
 
 
 def shard_batch(tree: Any, mesh: Mesh) -> Any:
@@ -37,6 +56,22 @@ def shard_batch(tree: Any, mesh: Mesh) -> Any:
         if hasattr(x, "ndim") and x.ndim >= 1:
             spec = P("data", *([None] * (x.ndim - 1)))
             return jax.device_put(x, NamedSharding(mesh, spec))
+        return x
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def shard_images(tree: Any, mesh: Mesh) -> Any:
+    """Shard NHWC image batches over (batch → data, H → spatial).
+
+    Non-4-D leaves fall back to batch-only sharding.  With a size-1
+    spatial axis this is identical to ``shard_batch``."""
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim == 4:
+            return jax.device_put(x, NamedSharding(mesh, P("data", "spatial", None, None)))
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return jax.device_put(x, NamedSharding(mesh, P("data")))
         return x
 
     return jax.tree_util.tree_map(put, tree)

@@ -75,6 +75,37 @@ def test_data_parallel_matches_single_device(rng):
         )
 
 
+def test_spatial_sharded_step_matches_single_device(rng):
+    """(data=4, spatial=2) mesh: batch over data, image H over spatial
+    (GSPMD conv halo exchange + cross-shard instance-norm statistics).
+    Loss scalars must match unsharded execution to float tolerance."""
+    from floodgan_tpu.parallel.mesh import shard_images
+
+    trainer = PairedTrainer("pairedattention", 9)
+    x = jnp.asarray(rng.standard_normal((4, 64, 64, 9), dtype=np.float32) * 0.3)
+    y = jnp.asarray(rng.standard_normal((4, 64, 64, 3), dtype=np.float32) * 0.3)
+    state = trainer.init(jax.random.key(0), x, y)
+    key = jax.random.key(7)
+    lr = jnp.float32(2e-4)
+
+    mesh = make_mesh(8, spatial=2)
+    state_sp = replicate_tree(jax.tree_util.tree_map(jnp.copy, state), mesh)
+    x_sp, y_sp = shard_images(x, mesh), shard_images(y, mesh)
+
+    _, m_single = trainer.train_step(state, x, y, lr, key)
+    _, m_sp = trainer.train_step(state_sp, x_sp, y_sp, lr, key)
+    for k in m_single:
+        np.testing.assert_allclose(
+            float(m_single[k]), float(m_sp[k]), rtol=2e-4, atol=1e-5, err_msg=k
+        )
+
+
+def test_make_mesh_spatial_validation():
+    with pytest.raises(ValueError):
+        make_mesh(8, spatial=3)
+    assert make_mesh(8, spatial=4).shape == {"data": 2, "spatial": 4}
+
+
 @pytest.mark.slow
 def test_dryrun_multichip_other_sizes():
     """Mesh generality: the dry run works for 2 and 4 device meshes too."""
