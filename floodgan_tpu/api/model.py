@@ -43,7 +43,7 @@ from floodgan_tpu.data.pipeline import create_flood_dataset
 from floodgan_tpu.data.transforms import denormalize
 from floodgan_tpu.eval.lpips import load_lpips
 from floodgan_tpu.eval.metrics import MaskMetricsAccumulator, image_pair_metrics
-from floodgan_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+from floodgan_tpu.parallel.mesh import make_mesh, replicate_tree, shard_images
 from floodgan_tpu.train.cycle import CycleTrainer
 from floodgan_tpu.train.paired import PairedTrainer
 from flax import serialization
@@ -83,6 +83,7 @@ class Model:
         # TPU-native extensions:
         batch_size: int = 1,
         num_data_devices: int = 1,
+        num_spatial_devices: int = 1,
         metadata_dir: Optional[str] = None,
         lpips_weights: Optional[str] = None,
         compute_dtype: str = "float32",
@@ -170,12 +171,16 @@ class Model:
             self.all_losses = self._initialise_loss_storage(overall=True)
         self.current_epoch = self.starting_epoch
 
-        # -- data-parallel mesh (TPU-native; SURVEY.md §5 comm backend) --
+        # -- (data, spatial) mesh (TPU-native; SURVEY.md §5 comm backend) --
         self.mesh = None
-        if num_data_devices > 1:
+        if num_data_devices > 1 or num_spatial_devices > 1:
             if batch_size % num_data_devices:
                 raise ValueError("batch_size must be divisible by num_data_devices")
-            self.mesh = make_mesh(num_data_devices)
+            if h % num_spatial_devices:
+                raise ValueError("image height must be divisible by num_spatial_devices")
+            self.mesh = make_mesh(
+                num_data_devices * num_spatial_devices, spatial=num_spatial_devices
+            )
             self.state = replicate_tree(self.state, self.mesh)
             # a remainder batch cannot shard evenly over the mesh
             self.train_loader.drop_remainder = True
@@ -288,7 +293,7 @@ class Model:
 
     def _device_batch(self, batch):
         if self.mesh is not None:
-            return shard_batch(batch["input"], self.mesh), shard_batch(batch["output"], self.mesh)
+            return shard_images(batch["input"], self.mesh), shard_images(batch["output"], self.mesh)
         return batch["input"], batch["output"]
 
     # ------------------------------------------------------------ training

@@ -260,6 +260,29 @@ def test_model_data_parallel_training(flood_fixture):
 
 
 @pytest.mark.slow
+def test_model_spatial_parallel_training(flood_fixture):
+    """Model-level (data=2, spatial=2) mesh: batch over data, image H over
+    spatial; loss trajectory matches single-device."""
+    from floodgan_tpu.api import Model
+
+    data_path, meta_dir = flood_fixture
+    kwargs = dict(
+        model="PairedAttention", dataset_subset="usa", dataset_dem="same",
+        data_path=data_path, num_epochs=1, topography="all", resize=None,
+        metadata_dir=meta_dir, batch_size=4,
+    )
+    single = Model(**kwargs)
+    single.train_loader.drop_remainder = True  # align with the sharded loader
+    single.train_paired()
+    sp = Model(num_data_devices=2, num_spatial_devices=2, **kwargs)
+    sp.train_paired()
+    for k in single.all_losses:
+        np.testing.assert_allclose(
+            single.all_losses[k], sp.all_losses[k], rtol=2e-4, atol=1e-5, err_msg=k
+        )
+
+
+@pytest.mark.slow
 def test_cli_evaluate_and_segment_and_compare(flood_fixture, masks_fixture):
     """Drive the three remaining CLI mains end-to-end on the fixture."""
     from floodgan_tpu.cli.train import main as train_main

@@ -116,6 +116,7 @@ def test_migrate_gan_checkpoint_continues_training(ref, rng, tmp_path):
     np.testing.assert_allclose(float(m["l1_losses_generator_synthetic"]), t_losses[3], rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_migrate_seg_checkpoint(ref, rng, tmp_path):
     from floodgan_tpu.utils.migrate import migrate_seg
     from floodgan_tpu.ckpt import load_checkpoint

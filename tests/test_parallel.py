@@ -29,7 +29,11 @@ def test_graft_entry_compiles():
     assert out.shape == (1, 64, 64, 3)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
+    """Full driver dryrun (8-device mesh, full train step) — ~4 min on one
+    CPU core, so slow-tier; the driver itself re-runs this every round
+    (MULTICHIP_rN.json) and test_graft_entry_compiles smokes the entry."""
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
@@ -75,6 +79,29 @@ def test_data_parallel_matches_single_device(rng):
         )
 
 
+def test_spatial_sharded_forward_matches_single_device(rng):
+    """Fast-tier halo-exchange check: the generator FORWARD under a
+    (data=4, spatial=2) mesh (image H sharded over ``spatial``) must equal
+    unsharded execution — GSPMD inserts conv halo exchange + cross-shard
+    instance-norm statistics.  The full train-step equivalence (gradients
+    through the halos) is the slow-tier test below."""
+    from floodgan_tpu.parallel.mesh import shard_images
+
+    trainer = PairedTrainer("pairedattention", 9)
+    x = jnp.asarray(rng.standard_normal((4, 64, 64, 9), dtype=np.float32) * 0.3)
+    y = jnp.asarray(rng.standard_normal((4, 64, 64, 3), dtype=np.float32) * 0.3)
+    state = trainer.init(jax.random.key(0), x, y)
+    key = jax.random.key(7)
+
+    out_single = np.asarray(trainer.gen_apply(state.gen_params, x, key))
+
+    mesh = make_mesh(8, spatial=2)
+    gen_sp = replicate_tree(state.gen_params, mesh)
+    out_sp = np.asarray(trainer.gen_apply(gen_sp, shard_images(x, mesh), key))
+    np.testing.assert_allclose(out_single, out_sp, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
 def test_spatial_sharded_step_matches_single_device(rng):
     """(data=4, spatial=2) mesh: batch over data, image H over spatial
     (GSPMD conv halo exchange + cross-shard instance-norm statistics).
