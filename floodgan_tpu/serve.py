@@ -1,20 +1,33 @@
-"""Batched inference engine for production serving.
+"""Batched inference engine + serving frontends for production deployment.
 
 The reference's only inference surface is matplotlib plotting inside
-evaluate.py.  This module provides the deployment-grade path: an
-AOT-compiled (jit -> lower -> compile) generator for one fixed batch
-shape, fed by the device-side preprocessing pipeline, with optional
-segmentation-mask post-processing — suitable for a serving loop where
-per-request latency matters and compilation must happen once at startup.
+evaluate.py.  This module provides the deployment-grade path:
+
+- ``InferenceEngine``: an AOT-compiled (jit -> lower -> compile) generator
+  for one fixed batch shape, fed by the device-side preprocessing
+  pipeline — compilation happens once at startup, requests pay none.
+- ``BatchingFrontend``: a dynamic micro-batcher.  Any number of client
+  threads submit single images; one worker thread owns the chip, groups
+  requests into the engine's fixed AOT batch shape (padding stragglers),
+  and answers through futures.  TPU-friendly by construction: one process
+  per chip, one static shape, no per-request dispatch.
+- ``ModelRepository`` + ``serve_http``: multi-model serving over a
+  stdlib ThreadingHTTPServer speaking raw ``.npy`` bodies.
 
     engine = InferenceEngine.from_checkpoint("model.ckpt", batch_size=8,
                                              image_size=512)
     outputs = engine.predict(stacks_uint_or_float_01)   # (B,H,W,3) in [0,1]
+
+    fe = BatchingFrontend(engine)
+    img = fe.predict(stack)                              # thread-safe
 """
 
 from __future__ import annotations
 
+import queue
+import threading
 import time
+from concurrent.futures import Future
 from typing import Optional
 
 import jax
@@ -130,6 +143,10 @@ class InferenceEngine:
             return self._compiled(self.gen_params, inputs)
         return self._fn(self.gen_params, inputs)
 
+    @property
+    def input_shape(self):
+        return (self.image_size, self.image_size, self.channels)
+
     def benchmark(self, iters: int = 20) -> dict:
         x = jnp.zeros(
             (self.batch_size, self.image_size, self.image_size, self.channels),
@@ -146,3 +163,221 @@ class InferenceEngine:
             "latency_ms": dt * 1e3,
             "images_per_sec": self.batch_size / dt,
         }
+
+
+# ===================================================== dynamic micro-batching
+
+class BatchingFrontend:
+    """Groups concurrent single-image requests into fixed-shape batches.
+
+    One worker thread owns the engine (and therefore the chip — the
+    one-process-one-client TPU rule holds even under many request
+    threads).  A request waits at most ``max_delay_ms`` for the batch to
+    fill; partial batches are zero-padded to the engine's AOT shape so
+    every device call compiles exactly once.  Results come back through
+    futures in submission order.
+    """
+
+    def __init__(self, engine: "InferenceEngine", max_delay_ms: float = 5.0):
+        self.engine = engine
+        self.max_delay = max_delay_ms / 1e3
+        self._queue: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.batches = 0
+        self.batched_slots = 0
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # -------------------------------------------------------------- client
+    def submit(self, stack: np.ndarray) -> Future:
+        """Enqueue one (S, S, C) normalized input; returns a Future whose
+        result is the (S, S, 3) prediction in [0, 1]."""
+        if self._closed:
+            raise RuntimeError("frontend is closed")
+        stack = np.asarray(stack, np.float32)
+        if stack.shape != self.engine.input_shape:
+            raise ValueError(
+                f"expected {self.engine.input_shape}, got {stack.shape}"
+            )
+        fut: Future = Future()
+        self._queue.put((stack, fut))
+        with self._lock:
+            self.requests += 1
+        return fut
+
+    def predict(self, stack: np.ndarray, timeout: Optional[float] = None) -> np.ndarray:
+        """Blocking single-image predict (thread-safe)."""
+        return self.submit(stack).result(timeout=timeout)
+
+    def stats(self) -> dict:
+        with self._lock:
+            b = max(self.batches, 1)
+            return {
+                "requests": self.requests,
+                "batches": self.batches,
+                "batch_size": self.engine.batch_size,
+                "mean_occupancy": self.batched_slots / (b * self.engine.batch_size),
+            }
+
+    def close(self) -> None:
+        self._closed = True
+        self._queue.put(None)
+        self._worker.join(timeout=10)
+
+    # -------------------------------------------------------------- worker
+    def _run(self) -> None:
+        bs = self.engine.batch_size
+        while True:
+            head = self._queue.get()
+            if head is None:
+                return
+            group = [head]
+            deadline = time.monotonic() + self.max_delay
+            while len(group) < bs:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    item = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if item is None:
+                    self._flush(group)
+                    return
+                group.append(item)
+            self._flush(group)
+
+    def _flush(self, group) -> None:
+        bs = self.engine.batch_size
+        stacks = np.stack([g[0] for g in group])
+        if len(group) < bs:
+            pad = np.zeros((bs - len(group),) + self.engine.input_shape, np.float32)
+            stacks = np.concatenate([stacks, pad])
+        try:
+            out = np.asarray(self.engine.predict(stacks))
+        except Exception as e:  # surface device errors to every waiter
+            for _, fut in group:
+                fut.set_exception(e)
+            return
+        with self._lock:
+            self.batches += 1
+            self.batched_slots += len(group)
+        for i, (_, fut) in enumerate(group):
+            fut.set_result(out[i])
+
+
+# ========================================================== multi-model serving
+
+class ModelRepository:
+    """Named set of engines, each behind its own BatchingFrontend.
+
+    Engines share the process (and the chip); their frontends serialize
+    device access through their worker threads, so a repository is safe to
+    expose to concurrent request handlers.
+    """
+
+    def __init__(self):
+        self._frontends: dict = {}
+
+    def add(self, name: str, engine: "InferenceEngine", max_delay_ms: float = 5.0) -> None:
+        if name in self._frontends:
+            raise ValueError(f"model {name!r} already registered")
+        self._frontends[name] = BatchingFrontend(engine, max_delay_ms=max_delay_ms)
+
+    def add_checkpoint(self, name: str, ckpt_path: str, **engine_kwargs) -> None:
+        self.add(name, InferenceEngine.from_checkpoint(ckpt_path, **engine_kwargs))
+
+    def frontend(self, name: str) -> BatchingFrontend:
+        try:
+            return self._frontends[name]
+        except KeyError:
+            raise KeyError(f"unknown model {name!r}; have {sorted(self._frontends)}")
+
+    def predict(self, name: str, stack: np.ndarray) -> np.ndarray:
+        return self.frontend(name).predict(stack)
+
+    def models(self) -> dict:
+        return {
+            name: {
+                "input_shape": fe.engine.input_shape,
+                "model": fe.engine.model,
+                "topography": fe.engine.topography,
+                **fe.stats(),
+            }
+            for name, fe in self._frontends.items()
+        }
+
+    def close(self) -> None:
+        for fe in self._frontends.values():
+            fe.close()
+
+
+def serve_http(repo: ModelRepository, host: str = "127.0.0.1", port: int = 8000):
+    """Expose a ModelRepository over HTTP (stdlib, no dependencies).
+
+    - ``POST /v1/models/<name>:predict``  body: one ``.npy`` array, either
+      (S, S, C) or (N, S, S, C); response: ``.npy`` predictions.
+    - ``GET /v1/models``  JSON model list + per-model batching stats.
+    - ``GET /healthz``
+
+    Returns the started ``ThreadingHTTPServer`` (serve in the caller's
+    thread via ``serve_forever()``, or in the background — tests use
+    ``threading.Thread(target=server.serve_forever)``).
+    """
+    import io
+    import json
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet by default (serving hot path)
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, code: int, obj) -> None:
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok"})
+            elif self.path == "/v1/models":
+                self._json(200, repo.models())
+            else:
+                self._json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            if not (self.path.startswith("/v1/models/") and self.path.endswith(":predict")):
+                return self._json(404, {"error": f"no route {self.path}"})
+            name = self.path[len("/v1/models/"):-len(":predict")]
+            try:
+                fe = repo.frontend(name)
+            except KeyError as e:
+                return self._json(404, {"error": str(e)})
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                arr = np.load(io.BytesIO(self.rfile.read(length)), allow_pickle=False)
+            except Exception as e:
+                return self._json(400, {"error": f"bad .npy body: {e}"})
+            single = arr.ndim == 3
+            batch = arr[None] if single else arr
+            if batch.ndim != 4 or batch.shape[1:] != fe.engine.input_shape:
+                return self._json(400, {
+                    "error": f"expected (N,)+{fe.engine.input_shape}, got {arr.shape}"
+                })
+            try:
+                futs = [fe.submit(s) for s in batch]
+                out = np.stack([f.result(timeout=120) for f in futs])
+            except Exception as e:
+                return self._json(500, {"error": str(e)})
+            buf = io.BytesIO()
+            np.save(buf, out[0] if single else out)
+            self._send(200, buf.getvalue(), "application/octet-stream")
+
+    return ThreadingHTTPServer((host, port), Handler)

@@ -48,3 +48,126 @@ def test_inference_engine_and_predict_cli(tmp_path, rng):
         "--resize=32",
     ])
     assert len(glob.glob(f"{out_dir}/*_prediction.png")) == 2
+
+
+@pytest.fixture(scope="module")
+def tiny_engine():
+    """AOT engine over a freshly-initialized PairedAttention at 32^2 —
+    no checkpoint/training needed for the frontend-layer tests."""
+    from floodgan_tpu.serve import InferenceEngine
+    from floodgan_tpu.train.paired import PairedTrainer
+
+    trainer = PairedTrainer("pairedattention", 9)
+    state = trainer.init(
+        jax.random.key(0), jax.numpy.zeros((1, 32, 32, 9)), jax.numpy.zeros((1, 32, 32, 3))
+    )
+    return InferenceEngine(
+        "pairedattention", state.gen_params, "all", batch_size=4, image_size=32,
+        compute_dtype="float32",
+    )
+
+
+def test_batching_frontend_groups_and_matches_engine(tiny_engine, rng):
+    """Submissions from one producer fill a batch; results equal the
+    engine's own batched predict, element for element."""
+    from floodgan_tpu.serve import BatchingFrontend
+
+    fe = BatchingFrontend(tiny_engine, max_delay_ms=200.0)
+    stacks = rng.random((4, 32, 32, 9), dtype=np.float32)
+    want = np.asarray(tiny_engine.predict(stacks))
+
+    futs = [fe.submit(s) for s in stacks]
+    got = np.stack([f.result(timeout=60) for f in futs])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    stats = fe.stats()
+    assert stats["requests"] == 4
+    assert stats["batches"] >= 1
+    fe.close()
+
+
+def test_batching_frontend_partial_batch_padding(tiny_engine, rng):
+    """A lone request rides a zero-padded batch; its slot matches the
+    engine run on the identically-padded batch."""
+    from floodgan_tpu.serve import BatchingFrontend
+
+    fe = BatchingFrontend(tiny_engine, max_delay_ms=1.0)
+    stack = rng.random((32, 32, 9), dtype=np.float32)
+    padded = np.concatenate([stack[None], np.zeros((3, 32, 32, 9), np.float32)])
+    want = np.asarray(tiny_engine.predict(padded))[0]
+    got = fe.predict(stack, timeout=60)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    assert fe.stats()["mean_occupancy"] <= 0.5
+    fe.close()
+
+
+def test_batching_frontend_rejects_bad_shape(tiny_engine):
+    from floodgan_tpu.serve import BatchingFrontend
+
+    fe = BatchingFrontend(tiny_engine)
+    with pytest.raises(ValueError):
+        fe.submit(np.zeros((16, 16, 9), np.float32))
+    fe.close()
+
+
+def test_model_repository_and_http_server(tiny_engine, rng):
+    """Multi-model routing + the .npy-over-HTTP protocol end to end."""
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    from floodgan_tpu.serve import ModelRepository, serve_http
+
+    repo = ModelRepository()
+    repo.add("flood", tiny_engine, max_delay_ms=1.0)
+    with pytest.raises(ValueError):
+        repo.add("flood", tiny_engine)
+    with pytest.raises(KeyError):
+        repo.frontend("nope")
+
+    server = serve_http(repo, host="127.0.0.1", port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.load(r)["status"] == "ok"
+
+        stack = rng.random((32, 32, 9), dtype=np.float32)
+        buf = io.BytesIO(); np.save(buf, stack)
+        req = urllib.request.Request(
+            f"{base}/v1/models/flood:predict", data=buf.getvalue(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = np.load(io.BytesIO(r.read()))
+        assert out.shape == (32, 32, 3)
+        np.testing.assert_allclose(out, repo.predict("flood", stack), rtol=1e-5, atol=1e-6)
+
+        # batched body
+        stacks = rng.random((2, 32, 32, 9), dtype=np.float32)
+        buf = io.BytesIO(); np.save(buf, stacks)
+        req = urllib.request.Request(
+            f"{base}/v1/models/flood:predict", data=buf.getvalue(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = np.load(io.BytesIO(r.read()))
+        assert out.shape == (2, 32, 32, 3)
+
+        # model listing carries stats
+        with urllib.request.urlopen(f"{base}/v1/models", timeout=30) as r:
+            models = json.load(r)
+        assert models["flood"]["requests"] >= 3
+
+        # error routes
+        bad = urllib.request.Request(
+            f"{base}/v1/models/nope:predict", data=buf.getvalue(), method="POST"
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
+        repo.close()
