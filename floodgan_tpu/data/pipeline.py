@@ -213,8 +213,14 @@ class BatchLoader:
         order = np.arange(n)
         if self.shuffle:
             order = np.random.default_rng(epoch).permutation(n)
+        return self.iter_indices(order)
+
+    def iter_indices(self, order) -> Iterator[Batch]:
+        """Iterate batches over an explicit sample-index order (the
+        multi-host loader feeds each process its stripe through this)."""
+        order = np.asarray(order)
         batches = [
-            order[i : i + self.batch_size] for i in range(0, n, self.batch_size)
+            order[i : i + self.batch_size] for i in range(0, len(order), self.batch_size)
         ]
         if self.drop_remainder:
             batches = [b for b in batches if len(b) == self.batch_size]

@@ -181,3 +181,80 @@ def test_dryrun_multichip_hostile_preinitialized_backend():
     )
     assert res.returncode == 0, f"stdout:\n{res.stdout}\nstderr:\n{res.stderr}"
     assert "HOSTILE_DRYRUN_OK" in res.stdout
+
+
+# ---------------------------------------------------------- multi-host loading
+
+def test_process_stripe_partitions_batch():
+    from floodgan_tpu.parallel.multihost import process_stripe
+
+    got = [process_stripe(8, p, 4) for p in range(4)]
+    assert got == [(0, 2), (2, 4), (4, 6), (6, 8)]
+    with pytest.raises(ValueError):
+        process_stripe(6, 0, 4)
+
+
+def test_multihost_loader_single_process_matches_batch_loader(tmp_path, rng):
+    """process_count=1: the multi-host loader must yield the same batches
+    (same epoch-seeded order, same transform) as the plain BatchLoader,
+    as globally-sharded arrays over the (data, spatial) mesh."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fixtures import make_flood_fixture
+
+    from floodgan_tpu.data.pipeline import BatchLoader, FloodDataset
+    from floodgan_tpu.parallel.multihost import MultiHostBatchLoader
+
+    data_path, meta_dir = make_flood_fixture(tmp_path / "d", size=32)
+    ds = FloodDataset("usa", "same", "train", data_path, "all", None, None,
+                      metadata_dir=meta_dir)
+    mesh = make_mesh(8, spatial=2)
+
+    plain = BatchLoader(ds, batch_size=4, shuffle=True, drop_remainder=True)
+    mh = MultiHostBatchLoader(ds, mesh, batch_size=4,
+                              process_index=0, process_count=1)
+    assert len(mh) == len(ds) // 4
+
+    got_batches = list(mh.epoch_iter(epoch=3))
+    want_batches = list(plain.epoch_iter(epoch=3))
+    assert len(got_batches) == len(want_batches) > 0
+    for got, want in zip(got_batches, want_batches):
+        assert got["names"] == want["names"]
+        x = got["input"]
+        assert x.shape == want["input"].shape
+        # carries the 2-D mesh sharding end to end
+        assert x.sharding.spec == jax.sharding.PartitionSpec("data", "spatial", None, None)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(want["input"]), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(got["output"]), np.asarray(want["output"]), rtol=1e-6)
+
+
+def test_multihost_loader_stripes_partition_global_batches(tmp_path, rng):
+    """Simulated 2-process run: each process's local stripes, concatenated,
+    must reconstruct every global batch of the single-host order exactly
+    (contiguous striping, no overlap, no loss)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fixtures import make_flood_fixture
+
+    from floodgan_tpu.data.pipeline import BatchLoader, FloodDataset
+    from floodgan_tpu.parallel.multihost import MultiHostBatchLoader
+
+    data_path, meta_dir = make_flood_fixture(tmp_path / "d", size=32)
+    ds = FloodDataset("usa", "same", "train", data_path, "all", None, None,
+                      metadata_dir=meta_dir)
+    mesh = make_mesh(8, spatial=2)
+
+    per_process = []
+    for p in (0, 1):
+        mh = MultiHostBatchLoader(ds, mesh, batch_size=4,
+                                  process_index=p, process_count=2)
+        mh._globalize = lambda a: a  # keep local stripes inspectable
+        per_process.append(list(mh.epoch_iter(epoch=3)))
+
+    plain = BatchLoader(ds, batch_size=4, shuffle=True, drop_remainder=True)
+    want = list(plain.epoch_iter(epoch=3))
+    assert len(per_process[0]) == len(per_process[1]) == len(want)
+    for b0, b1, w in zip(per_process[0], per_process[1], want):
+        assert b0["names"] + b1["names"] == w["names"]
+        merged = np.concatenate([np.asarray(b0["input"]), np.asarray(b1["input"])])
+        np.testing.assert_allclose(merged, np.asarray(w["input"]), rtol=1e-6)
