@@ -348,7 +348,17 @@ def batch_norm(
     mean = jnp.mean(x32, axis=(0, 1, 2), keepdims=True)
     var = jnp.var(x32, axis=(0, 1, 2), keepdims=True)
     inv = lax.rsqrt(var + eps)
+    if dt == jnp.bfloat16 and _norm_arith_bf16():
+        # f32 statistics, bf16 normalize chain (see instance-norm note in
+        # ops/pallas_kernels.py — halves the elementwise pass width).
+        return (x - mean.astype(dt)) * (inv.astype(dt) * scale.astype(dt)) + bias.astype(dt)
     return ((x32 - mean) * inv * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dt)
+
+
+def _norm_arith_bf16() -> bool:
+    from floodgan_tpu.ops.pallas_kernels import _norm_arith_in_activation_dtype
+
+    return _norm_arith_in_activation_dtype()
 
 
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
@@ -361,7 +371,10 @@ def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
     meansq = jnp.mean(x32 * x32, axis=(1, 2), keepdims=True)
     var = meansq - mean * mean
-    return ((x32 - mean) * lax.rsqrt(var + eps)).astype(dt)
+    inv = lax.rsqrt(var + eps)
+    if dt == jnp.bfloat16 and _norm_arith_bf16():
+        return (x - mean.astype(dt)) * inv.astype(dt)
+    return ((x32 - mean) * inv).astype(dt)
 
 
 def instance_norm_act(

@@ -177,6 +177,9 @@ class CycleTrainer:
                 return out
 
             out = jax.vmap(single)(self._cast(p), xx.astype(self.compute_dtype))
+            # f32 at the boundary: a compute-dtype wire between the cycle's
+            # generator passes measured no better (10.09 vs 10.2 samples/s,
+            # BENCH_NOTES) — XLA fuses the converts either way.
             return out.astype(jnp.float32)
 
         return self._maybe_remat(fwd)(stacked_params, x2)

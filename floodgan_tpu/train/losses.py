@@ -10,12 +10,17 @@ import jax.numpy as jnp
 
 def lsgan_mse(prediction: jax.Array, target: float) -> jax.Array:
     """nn.MSELoss()(prediction, full_like(prediction, target)) — the LSGAN
-    objective applied to PatchGAN logit maps (reference model.py:626-642)."""
-    return jnp.mean(jnp.square(prediction - target))
+    objective applied to PatchGAN logit maps (reference model.py:626-642).
+    Accumulates in f32 whatever the activation dtype (bf16 sums over
+    patch maps would lose mantissa)."""
+    p = prediction.astype(jnp.float32)
+    return jnp.mean(jnp.square(p - target))
 
 
 def l1_loss(a: jax.Array, b: jax.Array) -> jax.Array:
-    return jnp.mean(jnp.abs(a - b))
+    """Mean absolute error with f32 accumulation: the elementwise |a-b|
+    stays in the activation dtype (bandwidth), the reduction upcasts."""
+    return jnp.mean(jnp.abs(a - b).astype(jnp.float32))
 
 
 def bce_with_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:

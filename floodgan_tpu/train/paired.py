@@ -78,6 +78,11 @@ class PairedTrainer:
 
     # -- generator forward normalised to a single output image ------------
     def gen_apply(self, params, x, rng):
+        """f32 output whatever the policy.  (A bf16-end-to-end variant of
+        the step — outputs/concats/L1 all in compute dtype — measured
+        SLOWER on v5e: 45.6-46.1 vs 47.0-47.2 samples/s; XLA already
+        fuses the f32 boundary converts, and the bf16 wire perturbed
+        fusion shapes.  Keep the f32 contract.)"""
         out = self.generator.apply(
             {"params": self._cast(params)},
             x.astype(self.compute_dtype),
