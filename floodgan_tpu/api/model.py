@@ -213,6 +213,11 @@ class Model:
                     )
             h = w = self.resize
         else:
+            if ds is None:
+                raise ValueError(
+                    "dataset is empty for every split and no --resize was "
+                    "given — cannot infer the image size"
+                )
             raw_in, _, _, _ = ds.read_raw(0)
             h, w = raw_in.shape[:2]
         if self.crop:

@@ -37,9 +37,21 @@ def use_pallas(which: str = "") -> bool:
     env = os.environ.get("FLOODGAN_PALLAS")
     if env is None:
         return False
-    if env in ("0", "false", "False", ""):
+    if env.lower() in ("0", "false", "off", "no", ""):
         return False
-    if env in ("1", "true", "True"):
-        return True
-    names = {s.strip() for s in env.split(",")}
-    return (which or "in") in names or (not which and bool(names))
+    names = {s.strip().lower() for s in env.split(",")}
+    if names & {"in", "compose"}:
+        return (which or "in") in names or not which
+    # Any other non-empty value ("1", "yes", "on", "2", ...) means ALL
+    # kernels — generic truthiness, so old commands keep their meaning.
+    return True
+
+
+def norm_arith_bf16() -> bool:
+    """Whether the normalisation normalize/activation chains run in the
+    activation dtype under the bf16 policy (statistics are always f32).
+    Measured ≥ the f32 chain on v5e (BENCH_NOTES round 2);
+    FLOODGAN_NORM_BF16=0 forces the f32 chain."""
+    return os.environ.get("FLOODGAN_NORM_BF16", "1").lower() not in (
+        "0", "false", "off", "no", "",
+    )

@@ -302,10 +302,13 @@ class BatchLoader:
             )
         else:
             # Mask pairs: flip only; no resize/crop/normalise in the
-            # reference mask path (models/data.py:191-196).
+            # reference mask path (models/data.py:191-196).  This branch
+            # has no device transform to upcast a bf16 wire, so restore
+            # f32 here (the wire option only compresses the H2D bytes).
             inputs = np.where(flips[:, None, None, None], inputs[:, :, ::-1], inputs)
             outputs = np.where(flips[:, None, None, None], outputs[:, :, ::-1], outputs)
-            inp, out = jax.numpy.asarray(inputs), jax.numpy.asarray(outputs)
+            inp = jax.numpy.asarray(inputs.astype(np.float32, copy=False))
+            out = jax.numpy.asarray(outputs.astype(np.float32, copy=False))
         return {"input": inp, "output": out, "names": names}
 
 

@@ -143,6 +143,10 @@ def load_lpips(weights_path: Optional[str] = None) -> Optional[LPIPS]:
     time).  Returns None (with a one-time warning) when none work; the
     evaluators then report NaN in the LPIPS column, schema preserved."""
     global _warned
+    if weights_path and not os.path.isfile(weights_path):
+        # An explicit path is a promise — falling through to other weights
+        # would silently score with something the user did not ask for.
+        raise FileNotFoundError(f"LPIPS weights file not found: {weights_path}")
     candidates = [
         weights_path,
         os.environ.get("FLOODGAN_LPIPS_WEIGHTS"),

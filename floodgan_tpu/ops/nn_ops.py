@@ -356,9 +356,9 @@ def batch_norm(
 
 
 def _norm_arith_bf16() -> bool:
-    from floodgan_tpu.ops.pallas_kernels import _norm_arith_in_activation_dtype
+    from floodgan_tpu.core.flags import norm_arith_bf16
 
-    return _norm_arith_in_activation_dtype()
+    return norm_arith_bf16()
 
 
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:

@@ -237,7 +237,7 @@ def _instance_norm_jnp(x, residual, relu, eps, negative_slope=0.0):
     meansq = jnp.mean(x32 * x32, axis=(1, 2), keepdims=True)
     var = meansq - mean * mean
     inv = jax.lax.rsqrt(var + eps)
-    if dt == jnp.bfloat16 and _norm_arith_in_activation_dtype():
+    if dt == jnp.bfloat16 and _norm_arith_bf16():
         # Statistics stay f32 (above); the normalize/activation/residual
         # elementwise chain runs in bf16 — the activations are bf16 on
         # both sides of the norm anyway, so the only loss is the rounding
@@ -258,10 +258,10 @@ def _instance_norm_jnp(x, residual, relu, eps, negative_slope=0.0):
     return y.astype(dt)
 
 
-def _norm_arith_in_activation_dtype() -> bool:
-    import os
+def _norm_arith_bf16() -> bool:
+    from floodgan_tpu.core.flags import norm_arith_bf16
 
-    return os.environ.get("FLOODGAN_NORM_BF16", "1") not in ("0", "false", "")
+    return norm_arith_bf16()
 
 
 # ======================================================== attention compose

@@ -61,6 +61,15 @@ def shard_batch(tree: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(put, tree)
 
 
+def image_spec(ndim: int) -> P:
+    """The framework's one batch-sharding rule: NHWC images shard
+    (batch → data, H → spatial); everything else batch-only.  Single
+    source of truth for shard_images and the multi-host loader."""
+    if ndim == 4:
+        return P("data", "spatial", None, None)
+    return P("data")
+
+
 def shard_images(tree: Any, mesh: Mesh) -> Any:
     """Shard NHWC image batches over (batch → data, H → spatial).
 
@@ -68,10 +77,8 @@ def shard_images(tree: Any, mesh: Mesh) -> Any:
     spatial axis this is identical to ``shard_batch``."""
 
     def put(x):
-        if hasattr(x, "ndim") and x.ndim == 4:
-            return jax.device_put(x, NamedSharding(mesh, P("data", "spatial", None, None)))
         if hasattr(x, "ndim") and x.ndim >= 1:
-            return jax.device_put(x, NamedSharding(mesh, P("data")))
+            return jax.device_put(x, NamedSharding(mesh, image_spec(x.ndim)))
         return x
 
     return jax.tree_util.tree_map(put, tree)

@@ -97,9 +97,9 @@ class MultiHostBatchLoader:
         return len(self.dataset) // self.batch_size
 
     def _sharding(self, ndim: int) -> NamedSharding:
-        if ndim == 4:
-            return NamedSharding(self.mesh, P("data", "spatial", None, None))
-        return NamedSharding(self.mesh, P("data"))
+        from floodgan_tpu.parallel.mesh import image_spec
+
+        return NamedSharding(self.mesh, image_spec(ndim))
 
     def epoch_iter(self, epoch: int = 0) -> Iterator[dict]:
         n = len(self.dataset)
@@ -123,10 +123,32 @@ class MultiHostBatchLoader:
             }
 
     def _globalize(self, local) -> jax.Array:
-        local = np.asarray(local)
-        global_shape = (self.batch_size,) + local.shape[1:]
+        global_shape = (self.batch_size,) + tuple(local.shape[1:])
+        sharding = self._sharding(local.ndim)
+        if isinstance(local, jax.Array):
+            # The wrapped loader's device transform already put the stripe
+            # on device — build the global array by device-to-device
+            # placement of each addressable shard instead of bouncing the
+            # batch through host memory (a synchronous D2H on the consumer
+            # thread would serialize with the train step).
+            lo, hi = process_stripe(
+                self.batch_size, self.process_index, self.process_count
+            )
+            shards = []
+            for dev, idx in sharding.addressable_devices_indices_map(global_shape).items():
+                b = idx[0]
+                start = (b.start or 0) - lo
+                stop = (global_shape[0] if b.stop is None else b.stop) - lo
+                if not (0 <= start < stop <= hi - lo):
+                    raise ValueError(
+                        f"device {dev} owns global batch rows {idx[0]} outside "
+                        f"this process's stripe [{lo}, {hi}) — the mesh is not "
+                        "process-major on the data axis"
+                    )
+                shards.append(jax.device_put(local[(slice(start, stop),) + idx[1:]], dev))
+            return jax.make_array_from_single_device_arrays(global_shape, sharding, shards)
         return jax.make_array_from_process_local_data(
-            self._sharding(local.ndim), local, global_shape
+            sharding, np.asarray(local), global_shape
         )
 
     def __iter__(self) -> Iterator[dict]:

@@ -194,16 +194,20 @@ class BatchingFrontend:
     def submit(self, stack: np.ndarray) -> Future:
         """Enqueue one (S, S, C) normalized input; returns a Future whose
         result is the (S, S, 3) prediction in [0, 1]."""
-        if self._closed:
-            raise RuntimeError("frontend is closed")
         stack = np.asarray(stack, np.float32)
         if stack.shape != self.engine.input_shape:
             raise ValueError(
                 f"expected {self.engine.input_shape}, got {stack.shape}"
             )
         fut: Future = Future()
-        self._queue.put((stack, fut))
+        # The closed-check and the enqueue are one atomic section, and
+        # close() enqueues its sentinel inside the same lock — so the
+        # sentinel is strictly the LAST item the worker ever sees and no
+        # accepted request can be left unflushed behind it.
         with self._lock:
+            if self._closed:
+                raise RuntimeError("frontend is closed")
+            self._queue.put((stack, fut))
             self.requests += 1
         return fut
 
@@ -222,9 +226,12 @@ class BatchingFrontend:
             }
 
     def close(self) -> None:
-        self._closed = True
-        self._queue.put(None)
-        self._worker.join(timeout=10)
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(None)  # strictly the last item (see submit)
+        self._worker.join(timeout=60)
 
     # -------------------------------------------------------------- worker
     def _run(self) -> None:

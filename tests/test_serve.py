@@ -171,3 +171,19 @@ def test_model_repository_and_http_server(tiny_engine, rng):
     finally:
         server.shutdown()
         repo.close()
+
+
+def test_batching_frontend_close_drains_queue(tiny_engine, rng):
+    """Every request accepted before close() must resolve — the shutdown
+    sentinel is strictly the last queued item, so nothing is abandoned."""
+    from floodgan_tpu.serve import BatchingFrontend
+
+    fe = BatchingFrontend(tiny_engine, max_delay_ms=50.0)
+    stacks = rng.random((6, 32, 32, 9), dtype=np.float32)
+    futs = [fe.submit(s) for s in stacks]
+    fe.close()
+    for f in futs:
+        assert f.result(timeout=60).shape == (32, 32, 3)
+    with pytest.raises(RuntimeError):
+        fe.submit(stacks[0])
+    fe.close()  # idempotent
