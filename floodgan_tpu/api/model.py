@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 
 from floodgan_tpu.api import paths as pathlib_
-from floodgan_tpu.ckpt import load_checkpoint, save_checkpoint
+from floodgan_tpu.ckpt import AsyncCheckpointer, load_checkpoint, save_checkpoint
 from floodgan_tpu.core.config import (
     TOPOGRAPHY_CHANNELS,
     TrainConfig,
@@ -47,6 +47,15 @@ from floodgan_tpu.parallel.mesh import make_mesh, replicate_tree, shard_images
 from floodgan_tpu.train.cycle import CycleTrainer
 from floodgan_tpu.train.paired import PairedTrainer
 from flax import serialization
+
+
+def _safe_print(msg: str) -> None:
+    """print that survives an orphaned stdout (parent process gone mid-
+    preemption) — losing a log line must never cost a checkpoint."""
+    try:
+        print(msg)
+    except BrokenPipeError:
+        pass
 
 
 def to_display_image(x) -> np.ndarray:
@@ -88,6 +97,7 @@ class Model:
         lpips_weights: Optional[str] = None,
         compute_dtype: str = "float32",
         remat: bool = False,
+        async_checkpoint: bool = False,
         train_cfg: TrainConfig = TrainConfig(),
     ):
         if verbose:
@@ -170,6 +180,9 @@ class Model:
             self.starting_epoch = 1
             self.all_losses = self._initialise_loss_storage(overall=True)
         self.current_epoch = self.starting_epoch
+        # Non-blocking checkpoint writes (serialize+disk on a worker
+        # thread; only the host snapshot happens on the training thread).
+        self._async_ckpt = AsyncCheckpointer() if async_checkpoint else None
 
         # -- (data, spatial) mesh (TPU-native; SURVEY.md §5 comm backend) --
         self.mesh = None
@@ -304,15 +317,33 @@ class Model:
     # ------------------------------------------------------------ training
 
     def _train_loop(self) -> None:
+        # TPU-pool preemptions arrive as SIGTERM; fold them into the same
+        # best-effort-checkpoint path as a ^C.  Handlers only install from
+        # the main thread (signal module restriction) — elsewhere skip.
+        import signal as _signal
+
+        def _preempted(signum, frame):
+            raise KeyboardInterrupt
+
+        old_term = None
+        try:
+            old_term = _signal.signal(_signal.SIGTERM, _preempted)
+        except ValueError:
+            pass
         try:
             self._train_epochs()
+            self.wait_for_checkpoints()
         except KeyboardInterrupt:
             # Best-effort recovery point (the reference's only recovery is
             # manual resume from periodic checkpoints, SURVEY.md §5).
             if self.save_model_interval and self.current_epoch >= self.starting_epoch:
-                print("\nInterrupted — saving a resume checkpoint...")
+                _safe_print("\nInterrupted — saving a resume checkpoint...")
                 self.save_checkpoint(self.current_epoch)
+                self.wait_for_checkpoints()
             raise
+        finally:
+            if old_term is not None:
+                _signal.signal(_signal.SIGTERM, old_term)
 
     def _train_epochs(self) -> None:
         for epoch in range(self.starting_epoch, self.num_epochs + 1):
@@ -404,9 +435,17 @@ class Model:
             "add_identity_loss": self.add_identity_loss,
         }
         model_path = self.create_path(save_type="model")
-        print(f"Saving {self.prettify_model_name()} model to {model_path}")
-        save_checkpoint(model_path, meta, jax.device_get(self.state))
+        _safe_print(f"Saving {self.prettify_model_name()} model to {model_path}")
+        if self._async_ckpt is not None:
+            self._async_ckpt.save(model_path, meta, self.state)
+        else:
+            save_checkpoint(model_path, meta, jax.device_get(self.state))
         return model_path
+
+    def wait_for_checkpoints(self) -> None:
+        """Join any in-flight async checkpoint write (no-op otherwise)."""
+        if self._async_ckpt is not None:
+            self._async_ckpt.wait()
 
     # ----------------------------------------------------------- inference
 

@@ -1,3 +1,8 @@
-from floodgan_tpu.ckpt.checkpoint import load_checkpoint, save_checkpoint
+from floodgan_tpu.ckpt.checkpoint import (
+    AsyncCheckpointer,
+    load_checkpoint,
+    restore_state,
+    save_checkpoint,
+)
 
-__all__ = ["load_checkpoint", "save_checkpoint"]
+__all__ = ["AsyncCheckpointer", "load_checkpoint", "restore_state", "save_checkpoint"]

