@@ -333,3 +333,51 @@ def test_cli_evaluate_and_segment_and_compare(flood_fixture, masks_fixture):
         f"--metadata_dir={meta_dir}",
     ])
     assert glob.glob(f"{data_path}/metrics/two_comparison_*.csv")
+
+
+@pytest.mark.slow
+def test_sigterm_preemption_checkpoint(flood_fixture):
+    """SIGTERM (TPU-pool preemption) must produce a resume checkpoint —
+    the same best-effort path as Ctrl-C (api/model.py _train_loop)."""
+    import glob
+    import signal
+    import subprocess
+    import sys
+    import tempfile
+    import time
+
+    data_path, meta_dir = flood_fixture
+    out_dir = tempfile.mkdtemp()
+    code = f"""
+import os, sys, shutil
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {os.getcwd()!r})
+from floodgan_tpu.api import Model
+m = Model(model="PairedAttention", dataset_subset="usa", dataset_dem="same",
+          data_path={out_dir!r}, num_epochs=10000, topography="all", resize=None,
+          metadata_dir={meta_dir!r}, batch_size=4, save_model_interval=1)
+m.train_paired()
+"""
+    # give the child its own models dir but the fixture's data
+    for sub in ("dataset_input", "dataset_output"):
+        os.symlink(os.path.join(data_path, sub), os.path.join(out_dir, sub))
+    log = open(os.path.join(out_dir, "child.log"), "w")
+    p = subprocess.Popen([sys.executable, "-c", code], stdout=log,
+                         stderr=subprocess.STDOUT, cwd=os.getcwd())
+    try:
+        deadline = time.time() + 900
+        while time.time() < deadline and not glob.glob(f"{out_dir}/models/*.ckpt"):
+            assert p.poll() is None, open(log.name).read()[-1000:]
+            time.sleep(2)
+        n_before = len(glob.glob(f"{out_dir}/models/*.ckpt"))
+        assert n_before, "never saw a periodic checkpoint"
+        p.send_signal(signal.SIGTERM)
+        p.wait(timeout=600)
+        text = open(log.name).read()
+        assert "Interrupted" in text, text[-1000:]
+        assert len(glob.glob(f"{out_dir}/models/*.ckpt")) >= n_before
+    finally:
+        if p.poll() is None:
+            p.kill()
