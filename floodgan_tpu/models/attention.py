@@ -40,6 +40,14 @@ class AttentionGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, x) -> Tuple[jax.Array, jax.Array]:
+        # Named remat boundaries: under segmented rematerialisation
+        # (train/paired.py remat policy save_only_these_names) the backward
+        # pass recomputes one encoder/trunk/head segment at a time from
+        # these saved tensors instead of replaying the whole forward —
+        # peak memory drops from the full forward live-set to the largest
+        # segment (this is what lets 2048^2 tiles train on one 16GB chip).
+        from jax.ad_checkpoint import checkpoint_name
+
         # --- shared encoder ---
         h = ops.reflect_pad2d(x, 3)
         h = TorchConv(64, 7, 1, 0, name="conv1")(h)
@@ -48,13 +56,17 @@ class AttentionGenerator(nn.Module):
         h = ops.instance_norm_act(h, relu=True)
         h = TorchConv(256, 3, 2, 1, name="conv3")(h)
         h = ops.instance_norm_act(h, relu=True)
+        h = checkpoint_name(h, "seg_boundary")
         h = ResnetTrunk(256, 9, unroll=self.trunk_unroll, name="trunk")(h)
+        h = checkpoint_name(h, "seg_boundary")
 
         # --- content head: 9 RGB content images ---
         c = TorchConvTranspose(128, 3, 2, 1, output_padding=1, name="deconv1_content")(h)
         c = ops.instance_norm_act(c, relu=True)
+        c = checkpoint_name(c, "seg_boundary")
         c = TorchConvTranspose(64, 3, 2, 1, output_padding=1, name="deconv2_content")(c)
         c = ops.instance_norm_act(c, relu=True)
+        c = checkpoint_name(c, "seg_boundary")
         c = ops.reflect_pad2d(c, 3)
         content_r = TorchConv(27, 7, 1, 0, name="deconv3_content")(c, phases=True)
 
@@ -62,8 +74,10 @@ class AttentionGenerator(nn.Module):
         # composition, reference model_architectures.py:227-228) ---
         a = TorchConvTranspose(128, 3, 2, 1, output_padding=1, name="deconv1_attention")(h)
         a = ops.instance_norm_act(a, relu=True)
+        a = checkpoint_name(a, "seg_boundary")
         a = TorchConvTranspose(64, 3, 2, 1, output_padding=1, name="deconv2_attention")(a)
         a = ops.instance_norm_act(a, relu=True)
+        a = checkpoint_name(a, "seg_boundary")
         attn_r = TorchConv(10, 1, 1, 0, name="deconv3_attention")(a, phases=True)
 
         # --- compose: softmax + 9 content*mask products + background blend.

@@ -118,7 +118,16 @@ class PairedTrainer:
 
         gen_fwd = lambda gp: self.gen_apply(gp, input_stack, rng)
         if self.remat:
-            gen_fwd = jax.checkpoint(gen_fwd)
+            # Segmented remat: save only the named segment boundaries the
+            # generators mark (models/attention.py) — the backward pass
+            # recomputes one segment at a time, so peak memory is the
+            # largest segment, not the whole forward.  Falls back to full
+            # recompute-from-inputs semantics when a model has no markers
+            # (everything unsaved is recomputed from the function inputs).
+            gen_fwd = jax.checkpoint(
+                gen_fwd,
+                policy=jax.checkpoint_policies.save_only_these_names("seg_boundary"),
+            )
         synthetic, gen_vjp = jax.vjp(gen_fwd, state.gen_params)
         concat_real = jnp.concatenate([input_stack, output_image], axis=-1)
         concat_syn = jnp.concatenate(
