@@ -258,3 +258,39 @@ def test_multihost_loader_stripes_partition_global_batches(tmp_path, rng):
         assert b0["names"] + b1["names"] == w["names"]
         merged = np.concatenate([np.asarray(b0["input"]), np.asarray(b1["input"])])
         np.testing.assert_allclose(merged, np.asarray(w["input"]), rtol=1e-6)
+
+
+def test_seg_unet_spatial_sharded_forward(rng):
+    """Segmentation U-Net under the (data, spatial) mesh: GSPMD partitions
+    the maxpool/convT/concat pyramid with halo exchange — logits must
+    match unsharded execution."""
+    from floodgan_tpu.parallel.mesh import shard_images
+    from floodgan_tpu.train.seg import SegTrainer
+
+    st = SegTrainer()
+    xs = jnp.asarray(rng.standard_normal((4, 64, 64, 3), dtype=np.float32) * 0.3)
+    ss = st.init(jax.random.key(0), xs)
+    o1 = np.asarray(st.predict_logits(ss.params, xs))
+    mesh = make_mesh(8, spatial=2)
+    o2 = np.asarray(
+        st.predict_logits(replicate_tree(ss.params, mesh), shard_images(xs, mesh))
+    )
+    np.testing.assert_allclose(o1, o2, atol=3e-5)
+
+
+@pytest.mark.slow
+def test_pix2pix_spatial_sharded_forward(rng):
+    """Pix2Pix 8-level U-Net (256^2 minimum input) under the spatial mesh."""
+    from floodgan_tpu.parallel.mesh import shard_images
+
+    t = PairedTrainer("pix2pix", 9)
+    x = jnp.asarray(rng.standard_normal((4, 256, 256, 9), dtype=np.float32) * 0.3)
+    y = jnp.asarray(rng.standard_normal((4, 256, 256, 3), dtype=np.float32) * 0.3)
+    s = t.init(jax.random.key(0), x, y)
+    key = jax.random.key(7)
+    out1 = np.asarray(t.gen_apply(s.gen_params, x, key))
+    mesh = make_mesh(8, spatial=2)
+    out2 = np.asarray(
+        t.gen_apply(replicate_tree(s.gen_params, mesh), shard_images(x, mesh), key)
+    )
+    np.testing.assert_allclose(out1, out2, atol=3e-5)
