@@ -64,8 +64,9 @@ def main() -> None:
     p.add_argument("--remat", action="store_true",
                    help="rematerialise generator activations (needed for the "
                         "cycle strategies at 512^2 with batch > 1)")
-    p.add_argument("--remat_policy", default="convs", choices=["full", "convs"],
-                   help="convs = save conv outputs, recompute only norms")
+    p.add_argument("--remat_policy", default="convs", choices=["full", "convs", "boundaries"],
+                   help="convs = save conv outputs, recompute only norms; "
+                        "boundaries = save only segment boundaries (least memory)")
     p.add_argument("--pallas", nargs="?", const="1", default=None,
                    help="enable the Pallas kernel paths: '1' = all, or a "
                         "comma list of kernels ('in', 'compose').  Default "

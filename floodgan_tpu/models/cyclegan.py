@@ -39,18 +39,26 @@ class CycleGANGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # Named remat boundaries — see models/attention.py: under the
+        # "boundaries" remat policy the backward recomputes one
+        # encoder/trunk/decoder segment at a time from these.
+        from jax.ad_checkpoint import checkpoint_name
+
         h = ops.reflect_pad2d(x, 3)
         h = TorchConv(64, 7, 1, 0, name="conv_in")(h)
         h = ops.instance_norm_act(h, relu=True)
         for i in range(2):
             h = TorchConv(64 * 2 ** (i + 1), 3, 2, 1, name=f"down{i + 1}")(h)
             h = ops.instance_norm_act(h, relu=True)
+        h = checkpoint_name(h, "seg_boundary")
         h = ResnetTrunk(256, 9, unroll=self.trunk_unroll, name="trunk")(h)
+        h = checkpoint_name(h, "seg_boundary")
         for i in range(2):
             h = TorchConvTranspose(
                 64 * 2 ** (1 - i), 3, 2, 1, output_padding=1, name=f"up{i + 1}"
             )(h)
             h = ops.instance_norm_act(h, relu=True)
+            h = checkpoint_name(h, "seg_boundary")
         h = ops.reflect_pad2d(h, 3)
         h = TorchConv(3, 7, 1, 0, name="conv_out")(h)
         return jnp.tanh(h)

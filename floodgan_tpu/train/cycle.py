@@ -149,6 +149,15 @@ class CycleTrainer:
             if self.remat_policy == "convs":
                 policy = lambda prim, *_, **__: prim.name == "conv_general_dilated"
                 return jax.checkpoint(fwd, policy=policy)
+            if self.remat_policy == "boundaries":
+                # Segmented remat (see models/cyclegan.py markers): saves
+                # only segment boundaries — far less memory than "convs"
+                # (which keeps every conv output), more recompute; the
+                # policy for resolutions where "convs" overflows HBM.
+                return jax.checkpoint(
+                    fwd,
+                    policy=jax.checkpoint_policies.save_only_these_names("seg_boundary"),
+                )
             return jax.checkpoint(fwd)
         return fwd
 

@@ -78,11 +78,14 @@ class PairedTrainer:
 
     # -- generator forward normalised to a single output image ------------
     def gen_apply(self, params, x, rng):
-        """f32 output whatever the policy.  (A bf16-end-to-end variant of
-        the step — outputs/concats/L1 all in compute dtype — measured
-        SLOWER on v5e: 45.6-46.1 vs 47.0-47.2 samples/s; XLA already
-        fuses the f32 boundary converts, and the bf16 wire perturbed
-        fusion shapes.  Keep the f32 contract.)"""
+        """f32 output whatever the policy.  A bf16 image wire through the
+        step was measured WORSE twice on v5e and removed both times:
+        slower at 512^2 (45.6-46.1 vs 47.2 samples/s — the f32 boundary
+        converts fuse for free and the bf16 wire perturbed fusion
+        shapes), and 3.2GB MORE memory at 1024^2 batch 8 (3-channel
+        tensors pad C 3->128 lanes either way, and bf16's (16,128)
+        native tile doubles the sublane padding at batch 8, erasing the
+        byte savings).  See BENCH_NOTES 'dtype experiments'."""
         out = self.generator.apply(
             {"params": self._cast(params)},
             x.astype(self.compute_dtype),
