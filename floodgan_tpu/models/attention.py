@@ -37,6 +37,11 @@ from floodgan_tpu.models.trunk import ResnetTrunk
 class AttentionGenerator(nn.Module):
     input_channels: int = 3
     trunk_unroll: int = 0
+    # phase_output=True returns (output, background_mask) in 2x2 phase-major
+    # space-to-depth form — (n, H/2, W/2, 12) and (n, H/2, W/2, 4) — for the
+    # phase-native train step (full-resolution 3-channel tensors pad 42.7x
+    # on TPU; see ops.conv2d_s2_phase_input).  Parameters are identical.
+    phase_output: bool = False
 
     @nn.compact
     def __call__(self, x) -> Tuple[jax.Array, jax.Array]:
@@ -113,6 +118,11 @@ class AttentionGenerator(nn.Module):
             attn = attn.astype(content_p.dtype)
             fg = jnp.einsum("nhwpkc,nhwpk->nhwpc", content_p, attn[..., :9])
             out_p = fg + rgb_p.astype(content_p.dtype) * attn[..., 9:10]
+            if self.phase_output:
+                return (
+                    out_p.reshape(n, h2, w2, 4 * 3),
+                    attn[..., 9].reshape(n, h2, w2, 4),
+                )
             output = depth_to_space_phases(
                 out_p.reshape(n, h2, w2, 4 * 3), out_h, out_w, 3
             )
@@ -125,4 +135,11 @@ class AttentionGenerator(nn.Module):
         attn_logits = attn_r[1]
         compose = pk.attention_compose if use_pallas("compose") else pk._attention_compose_jnp
         output, background_mask = compose(content, attn_logits, x[..., :3])
+        if self.phase_output:
+            # small-resolution fallback (phase-fold tail ineligible): keep
+            # the phase-space contract by converting explicitly.
+            return (
+                space_to_depth_phases(output),
+                space_to_depth_phases(background_mask[..., None]),
+            )
         return output, background_mask

@@ -36,11 +36,21 @@ class TorchConv(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x, phases: bool = False):
+    def __call__(self, x, phases: bool = False, phase_splits=None):
         from floodgan_tpu.ops.nn_ops import (
             _conv2d_phasefold_phases,
             _phasefold_eligible,
+            conv2d_s2_phase_input,
         )
+
+        if phase_splits is not None:
+            # x is a phase-space concat (see ops.conv2d_s2_phase_input);
+            # parameters are the ordinary image-space kernel, so the two
+            # calling conventions share checkpoints bit for bit.
+            cin = sum(phase_splits)
+            w = self.param("weight", conv_init, (self.kernel, self.kernel, cin, self.features))
+            b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+            return conv2d_s2_phase_input(x, w, phase_splits, b)
 
         w = self.param(
             "weight", conv_init, (self.kernel, self.kernel, x.shape[-1], self.features)

@@ -27,7 +27,15 @@ class PatchGANDiscriminator(nn.Module):
     norm: str = "instance"  # "batch" | "instance"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, phase_splits=None):
+        """``phase_splits``: when given, ``x`` is a channel-concat of
+        2x2 phase-major space-to-depth groups (sizes in phase_splits) at
+        H/2 x W/2, and the k4 s2 stem is evaluated directly in phase
+        space (ops.conv2d_s2_phase_input — numerically the same conv,
+        but the full-resolution 3/12-channel input never materialises;
+        see BENCH_NOTES high-resolution study).  The stem's output grid
+        is H/2 either way, so every later layer is untouched and the
+        parameters are identical between the two calling conventions."""
         use_bias = self.norm != "batch"
 
         def normed_lrelu(h, name):
@@ -36,7 +44,7 @@ class PatchGANDiscriminator(nn.Module):
             # fused IN + leaky-relu (Pallas on TPU)
             return ops.instance_norm_act(h, relu=True, negative_slope=0.2)
 
-        h = TorchConv(64, 4, 2, 1, name="conv0")(x)
+        h = TorchConv(64, 4, 2, 1, name="conv0")(x, phase_splits=phase_splits)
         h = ops.leaky_relu(h, 0.2)
         for n, chl in enumerate([128, 256], start=1):
             h = TorchConv(chl, 4, 2, 1, use_bias=use_bias, name=f"conv{n}")(h)

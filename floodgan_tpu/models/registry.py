@@ -38,11 +38,20 @@ _DISC_CONDITIONAL = {
 }
 
 
-def build_generator(model: str, input_channels: int, dropout_rate: float = 0.5) -> nn.Module:
+def build_generator(
+    model: str,
+    input_channels: int,
+    dropout_rate: float = 0.5,
+    phase_output: bool = False,
+) -> nn.Module:
     model = _check_model(model)
     cls = _GENERATORS[model]
     if cls is Pix2PixGenerator:
         return cls(input_channels=input_channels, dropout_rate=dropout_rate)
+    if phase_output:
+        if cls is not AttentionGenerator:
+            raise ValueError(f"phase_output generator only exists for the attention family, not {model}")
+        return cls(input_channels=input_channels, trunk_unroll=9, phase_output=True)
     # Trunk unroll policy: fully unrolled everywhere.  The rolled
     # (lax.scan) trunk bounds compile time but breaks cross-block fusion —
     # measured on v5e at 512^2 batch 4, the cycle step runs 8.0 samples/s

@@ -193,6 +193,56 @@ def _conv2d_phasefold(x: jax.Array, w: jax.Array, padding: int) -> jax.Array:
     return depth_to_space_phases(out, out_h, out_w, w.shape[3])
 
 
+def conv2d_s2_phase_input(
+    xp: jax.Array,
+    w: jax.Array,
+    splits,
+    b: Optional[jax.Array] = None,
+) -> jax.Array:
+    """k4 stride-2 pad-1 conv evaluated directly on a 2x2 phase decomposition.
+
+    ``xp`` is (n, H/2, W/2, 4*C_total): a channel-concat of phase-major
+    space-to-depth groups (``space_to_depth_phases`` layout, group sizes in
+    ``splits`` summing to C_total = w.shape[2]).  Output equals
+    ``conv2d(x_image, w, stride=2, padding=1)`` exactly — a k4 s2 conv's
+    output grid IS the phase grid, and each tap lands on one input phase:
+    out[t,u] = sum_{j,k} w[j,k] x[2t+j-1, 2u+k-1] with 2t+j-1 = 2(t+d)+r,
+    so phase r contributes taps j = 2d+r+1 at phase-grid offsets
+    d in {0,1} (r=0) / {-1,0} (r=1).  Embedding those taps in a 3x3
+    stride-1 kernel over the 4C phase channels (zeros elsewhere) gives one
+    dense conv whose input never exists at full resolution — the point:
+    (N,H,W,3)-like tensors pad 42.7x on TPU (3 -> 128 lanes, BENCH_NOTES
+    high-resolution study); their phase form pads 128/(4C).
+
+    The embedded kernel is assembled from ``w`` with gathers, so gradients
+    flow to ``w`` unchanged."""
+    kh, kw, cin, cout = w.shape
+    if kh != 4 or kw != 4:
+        raise ValueError("phase-input lowering is derived for k=4 s=2 p=1")
+    if sum(splits) != cin:
+        raise ValueError(f"splits {splits} must sum to cin={cin}")
+    taps = {0: ((0, 1), (1, 3)), 1: ((-1, 0), (0, 2))}  # r -> (d values, j values)
+    wp = jnp.zeros((3, 3, 4 * cin, cout), w.dtype)
+    for r in (0, 1):
+        for c in (0, 1):
+            off_g = 0
+            for g, cg in enumerate(splits):
+                # channel block of group g, phase (r, c) in the concat layout
+                lo = 4 * off_g + (r * 2 + c) * cg
+                for dh, jh in zip(*taps[r]):
+                    for dw, jw in zip(*taps[c]):
+                        wp = wp.at[dh + 1, dw + 1, lo : lo + cg, :].set(
+                            w[jh, jw, off_g : off_g + cg, :]
+                        )
+                off_g += cg
+    out = lax.conv_general_dilated(
+        xp, wp, (1, 1), ((1, 1), (1, 1)), dimension_numbers=DIMSPEC
+    )
+    if b is not None:
+        out = out + b
+    return out
+
+
 def space_to_depth_phases(x: jax.Array) -> jax.Array:
     """(n, H, W, C) -> (n, H/2, W/2, 4C), channel index (r*2+c)*C + ch for
     spatial phase (r, c) — the phase convention of the phase-fold convs."""

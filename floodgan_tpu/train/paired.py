@@ -55,12 +55,32 @@ class PairedTrainer:
         dropout_rate: float = 0.5,
         compute_dtype: str = "float32",
         remat: bool = False,
+        phase_step: bool = None,
     ):
+        import os
+
         self.model = model
         self.cfg = cfg
         self.generator = build_generator(model, input_channels, dropout_rate)
         self.discriminator = build_discriminator(model)
         self.returns_mask = generator_returns_mask(model)
+        # Phase-native train step (attention family): the generator output,
+        # the L1, and the discriminator stem all stay in 2x2 phase space —
+        # the (N, H, W, 3/12) image tensors (42.7x lane padding on TPU,
+        # BENCH_NOTES high-resolution study) never materialise inside the
+        # step.  Same math: the L1 is a mean over the same elements, and
+        # the phase-space stem is the identical k4 s2 conv
+        # (ops.conv2d_s2_phase_input, golden-tested; loss-trajectory
+        # equivalence pinned in tests/test_train_steps.py).  Measured
+        # 46.9 -> 50.3 samples/s at 512^2 b8 on v5e — DEFAULT ON;
+        # FLOODGAN_PHASE_STEP=0 restores the image-space step.
+        if phase_step is None:
+            phase_step = os.environ.get("FLOODGAN_PHASE_STEP", "1") != "0"
+        self.phase_step = bool(phase_step) and self.returns_mask
+        if self.phase_step:
+            self.generator_phase = build_generator(
+                model, input_channels, dropout_rate, phase_output=True
+            )
         self.tx = adam_tx(b1=cfg.adam_b1, b2=cfg.adam_b2)
         self.input_channels = input_channels
         # Mixed precision: f32 master params, bf16 activations/flops on the
@@ -99,6 +119,23 @@ class PairedTrainer:
             {"params": self._cast(params)}, x.astype(self.compute_dtype)
         ).astype(jnp.float32)
 
+    # -- phase-space twins (active when self.phase_step) ------------------
+    def _gen_apply_phase(self, params, x, rng):
+        """(B, H/2, W/2, 12) phase-major f32 output (same parameters)."""
+        out, _mask = self.generator_phase.apply(
+            {"params": self._cast(params)},
+            x.astype(self.compute_dtype),
+            rngs={"dropout": rng},
+        )
+        return out.astype(jnp.float32)
+
+    def _disc_apply_phase(self, params, xp, splits):
+        return self.discriminator.apply(
+            {"params": self._cast(params)},
+            xp.astype(self.compute_dtype),
+            phase_splits=splits,
+        ).astype(jnp.float32)
+
     def init(self, rng, sample_input, sample_output) -> PairedState:
         kg, kd, kdrop = jax.random.split(rng, 3)
         gen_params = self.generator.init(
@@ -117,6 +154,8 @@ class PairedTrainer:
     def train_step(
         self, state: PairedState, input_stack, output_image, lr, rng
     ) -> Tuple[PairedState, Dict[str, jax.Array]]:
+        if self.phase_step:
+            return self._train_step_phase(state, input_stack, output_image, lr, rng)
         cfg = self.cfg
 
         gen_fwd = lambda gp: self.gen_apply(gp, input_stack, rng)
@@ -164,6 +203,76 @@ class PairedTrainer:
         (_, (loss_g_adv, loss_g_l1)), syn_grad = jax.value_and_grad(
             g_loss_from_syn, has_aux=True
         )(synthetic)
+        (g_grads,) = gen_vjp(syn_grad)
+        gen_params, gen_opt = apply_adam(
+            self.tx, state.gen_params, state.gen_opt, g_grads, lr
+        )
+
+        new_state = PairedState(gen_params, disc_params, gen_opt, disc_opt)
+        metrics = {
+            "losses_discriminator_real": loss_d_real,
+            "losses_discriminator_synthetic": loss_d_syn,
+            "losses_generator_synthetic": loss_g_adv,
+            "l1_losses_generator_synthetic": loss_g_l1,
+        }
+        return new_state, metrics
+
+    def _train_step_phase(
+        self, state: PairedState, input_stack, output_image, lr, rng
+    ) -> Tuple[PairedState, Dict[str, jax.Array]]:
+        """The paired step with every image-like tensor in 2x2 phase space.
+
+        Identical math to the image-space step (reference
+        models/model.py:598-658): the generator's phase tail already
+        composes in phase space, the L1 mean runs over the same elements,
+        and the discriminator stem is the same k4 s2 conv evaluated on
+        phase channels (ops.conv2d_s2_phase_input, golden-tested).  What
+        changes is storage: (N, H, W, 3/12) tensors pad C -> 128 lanes
+        (42.7x) on TPU; their phase forms pad 128/(4C)."""
+        from floodgan_tpu.ops.nn_ops import space_to_depth_phases
+
+        cfg = self.cfg
+        splits = (input_stack.shape[-1], 3)
+        x_p = space_to_depth_phases(input_stack)
+        y_p = space_to_depth_phases(output_image)
+
+        gen_fwd = lambda gp: self._gen_apply_phase(gp, input_stack, rng)
+        if self.remat:
+            gen_fwd = jax.checkpoint(
+                gen_fwd,
+                policy=jax.checkpoint_policies.save_only_these_names("seg_boundary"),
+            )
+        syn_p, gen_vjp = jax.vjp(gen_fwd, state.gen_params)
+        concat_real = jnp.concatenate([x_p, y_p], axis=-1)
+        concat_syn = jnp.concatenate(
+            [x_p, jax.lax.stop_gradient(syn_p)], axis=-1
+        )
+
+        def d_loss_fn(dp):
+            pred_syn = self._disc_apply_phase(dp, concat_syn, splits)
+            loss_syn = lsgan_mse(pred_syn, 0.0)
+            pred_real = self._disc_apply_phase(dp, concat_real, splits)
+            loss_real = lsgan_mse(pred_real, 1.0)
+            return (loss_syn + loss_real) * cfg.disc_weight, (loss_syn, loss_real)
+
+        d_grads, (loss_d_syn, loss_d_real) = jax.grad(d_loss_fn, has_aux=True)(
+            state.disc_params
+        )
+        disc_params, disc_opt = apply_adam(
+            self.tx, state.disc_params, state.disc_opt, d_grads, lr
+        )
+
+        def g_loss_from_syn(syn):
+            pred = self._disc_apply_phase(
+                disc_params, jnp.concatenate([x_p, syn], axis=-1), splits
+            )
+            loss_adv = lsgan_mse(pred, 1.0)
+            loss_l1 = l1_loss(syn, y_p) * cfg.l1_weight
+            return loss_adv + loss_l1, (loss_adv, loss_l1)
+
+        (_, (loss_g_adv, loss_g_l1)), syn_grad = jax.value_and_grad(
+            g_loss_from_syn, has_aux=True
+        )(syn_p)
         (g_grads,) = gen_vjp(syn_grad)
         gen_params, gen_opt = apply_adam(
             self.tx, state.gen_params, state.gen_opt, g_grads, lr

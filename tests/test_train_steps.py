@@ -272,3 +272,59 @@ def test_image_buffer_policy():
         if float(out[0, 0, 0]) != 100.0 + i:
             returned_old += 1
     assert 0.3 < returned_old / n < 0.7
+
+
+def test_phase_step_matches_image_step(rng):
+    """The phase-native paired step (generator output, L1, and D stem all
+    in 2x2 phase space — ops.conv2d_s2_phase_input) must reproduce the
+    image-space step's loss trajectory.  64^2 exercises the small-size
+    fallback (explicit space-to-depth), 128^2 the real phase tail."""
+    from floodgan_tpu.train.paired import PairedTrainer
+
+    for size in (64, 128):
+        x = jnp.asarray(rng.standard_normal((2, size, size, 9), dtype=np.float32) * 0.3)
+        y = jnp.asarray(rng.standard_normal((2, size, size, 3), dtype=np.float32) * 0.3)
+        a = PairedTrainer("pairedattention", 9, phase_step=False)
+        b = PairedTrainer("pairedattention", 9, phase_step=True)
+        sa = a.init(jax.random.key(0), x, y)
+        sb = b.init(jax.random.key(0), x, y)
+        key = jax.random.key(7)
+        lr = jnp.float32(2e-4)
+        # Loss-trajectory tolerance: Adam's first updates are ~±lr·sign(grad)
+        # and the generator loss is evaluated against the *updated* D inside
+        # the same step, so f32 summation-order noise on near-zero grads
+        # flips update signs (same caveat as the DP-equivalence test).
+        # Op-level exactness is pinned by test_phase_stem_conv_golden.
+        for step, (rtol, atol) in enumerate([(2e-3, 1e-4), (2e-3, 1e-4)]):
+            sa, ma = a.train_step(sa, x, y, lr, key)
+            sb, mb = b.train_step(sb, x, y, lr, key)
+            for k in ma:
+                np.testing.assert_allclose(
+                    float(ma[k]), float(mb[k]), rtol=rtol, atol=atol,
+                    err_msg=f"{size} step{step} {k}",
+                )
+
+
+def test_phase_stem_conv_golden(rng):
+    """conv2d_s2_phase_input == conv2d(stride=2, padding=1) on the
+    space-to-depth decomposition, values and w-gradients."""
+    from floodgan_tpu.ops.nn_ops import (
+        conv2d,
+        conv2d_s2_phase_input,
+        space_to_depth_phases,
+    )
+
+    x1 = jnp.asarray(rng.standard_normal((2, 16, 16, 9), dtype=np.float32))
+    x2 = jnp.asarray(rng.standard_normal((2, 16, 16, 3), dtype=np.float32))
+    x = jnp.concatenate([x1, x2], -1)
+    W = jnp.asarray(rng.standard_normal((4, 4, 12, 64), dtype=np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal((64,), dtype=np.float32))
+    xp = jnp.concatenate([space_to_depth_phases(x1), space_to_depth_phases(x2)], -1)
+
+    want = conv2d(x, W, b, stride=2, padding=1)
+    got = conv2d_s2_phase_input(xp, W, (9, 3), b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    g1 = jax.grad(lambda w: jnp.sum(conv2d(x, w, b, stride=2, padding=1) ** 2))(W)
+    g2 = jax.grad(lambda w: jnp.sum(conv2d_s2_phase_input(xp, w, (9, 3), b) ** 2))(W)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-3)
