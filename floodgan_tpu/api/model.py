@@ -49,6 +49,50 @@ from floodgan_tpu.train.paired import PairedTrainer
 from flax import serialization
 
 
+def _adapt_cycle_buffer_layout(template_state, raw: dict) -> dict:
+    """Convert cycle replay-buffer arrays between image and 2x2 phase
+    layouts when a checkpoint was written under the other
+    FLOODGAN_CYCLE_PHASE_D setting — the buffers hold the same images
+    either way, just space-to-depth'd, so checkpoints stay interchangeable."""
+
+    def s2d(a):
+        n, h, w, c = a.shape
+        return (
+            a.reshape(n, h // 2, 2, w // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, h // 2, w // 2, 4 * c)
+        )
+
+    def d2s(a):
+        n, h2, w2, c4 = a.shape
+        c = c4 // 4
+        return (
+            a.reshape(n, h2, w2, 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, 2 * h2, 2 * w2, c)
+        )
+
+    raw = dict(raw)
+    for key in ("pre_buffer", "post_buffer"):
+        if key not in raw:
+            continue
+        want = tuple(getattr(template_state, key).images.shape)
+        have = np.asarray(raw[key]["images"])
+        if tuple(have.shape) == want:
+            continue
+        if tuple(s2d(have).shape) == want:
+            converted = s2d(have)
+        elif tuple(d2s(have).shape) == want:
+            converted = d2s(have)
+        else:
+            raise ValueError(
+                f"checkpoint {key} images {have.shape} are incompatible with "
+                f"the current buffer layout {want}"
+            )
+        raw[key] = dict(raw[key], images=converted)
+    return raw
+
+
 def _safe_print(msg: str) -> None:
     """print that survives an orphaned stdout (parent process gone mid-
     preemption) — losing a log line must never cost a checkpoint."""
@@ -175,6 +219,8 @@ class Model:
         if load_pretrained_model:
             self.starting_epoch = saved_meta["starting_epoch"]
             self.all_losses = {k: list(v) for k, v in saved_meta["all_losses"].items()}
+            if self.model_is_cycle:
+                saved_state = _adapt_cycle_buffer_layout(self.state, saved_state)
             self.state = serialization.from_state_dict(self.state, saved_state)
         else:
             self.starting_epoch = 1

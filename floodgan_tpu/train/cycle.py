@@ -117,7 +117,19 @@ class CycleTrainer:
         compute_dtype: str = "float32",
         remat: bool = False,
         remat_policy: str = "convs",  # "convs" (save conv outputs) | "full"
+        phase_d: bool = None,
     ):
+        import os
+
+        # Phase-space discriminator path: replay buffers store 2x2
+        # space-to-depth tensors and the PatchGAN stem consumes them
+        # directly (ops.conv2d_s2_phase_input) — the (B, H, W, 9) D-input
+        # tensors that pad 9 -> 128 lanes (14x) never materialise on the
+        # D side, and the buffers store at 128/(4*9) = 3.6x padding
+        # instead.  Same values, same replay policy, same parameters.
+        if phase_d is None:
+            phase_d = os.environ.get("FLOODGAN_CYCLE_PHASE_D") == "1"
+        self.phase_d = bool(phase_d)
         self.model = model
         self.cfg = cfg
         self.add_identity_loss = add_identity_loss
@@ -193,9 +205,9 @@ class CycleTrainer:
 
         return self._maybe_remat(fwd)(stacked_params, x2)
 
-    def disc_apply_pair(self, stacked_params, x2):
+    def disc_apply_pair(self, stacked_params, x2, phase_splits=None):
         def single(pp, xs):
-            return self.discriminator.apply({"params": pp}, xs)
+            return self.discriminator.apply({"params": pp}, xs, phase_splits=phase_splits)
 
         return jax.vmap(single)(
             self._cast(stacked_params), x2.astype(self.compute_dtype)
@@ -218,13 +230,17 @@ class CycleTrainer:
         }
         _, h, w, _ = sample_input.shape
         cap = self.cfg.buffer_size
+        if self.phase_d:
+            bshape = (h // 2, w // 2, 4 * self.input_channels)
+        else:
+            bshape = (h, w, self.input_channels)
         return CycleState(
             gen_params=gen_params,
             disc_params=disc_params,
             gen_opt=self.tx.init(gen_params),
             disc_opt=self.tx.init(disc_params),
-            pre_buffer=ImageBuffer.create(cap, h, w, self.input_channels, self.compute_dtype),
-            post_buffer=ImageBuffer.create(cap, h, w, self.input_channels, self.compute_dtype),
+            pre_buffer=ImageBuffer.create(cap, *bshape, self.compute_dtype),
+            post_buffer=ImageBuffer.create(cap, *bshape, self.compute_dtype),
         )
 
     def _with_condition(self, rgb, conditions):
@@ -260,9 +276,18 @@ class CycleTrainer:
             recreated_post, recreated_pre = rec[0], rec[1]
 
             dboth = stack_pair(state.disc_params["post"], state.disc_params["pre"])
-            pred = self.disc_apply_pair(
-                dboth, jnp.stack([synthetic_post_c, synthetic_pre_c])
-            )
+            if self.phase_d:
+                from floodgan_tpu.ops.nn_ops import space_to_depth_phases as s2d
+
+                pred = self.disc_apply_pair(
+                    dboth,
+                    jnp.stack([s2d(synthetic_post_c), s2d(synthetic_pre_c)]),
+                    phase_splits=(self.input_channels,),
+                )
+            else:
+                pred = self.disc_apply_pair(
+                    dboth, jnp.stack([synthetic_post_c, synthetic_pre_c])
+                )
             post_gen_loss = lsgan_mse(pred[0], 1.0)
             pre_gen_loss = lsgan_mse(pred[1], 1.0)
             pre_to_post_cycle = l1_loss(recreated_pre, real_pre[..., :3]) * cfg.cycle_weight
@@ -291,12 +316,26 @@ class CycleTrainer:
         )
 
         # ---- replay buffers (reference model.py:723-724) ----
+        # Under phase_d the buffers hold the 2x2 space-to-depth form —
+        # the policy swaps whole images either way, so the returned
+        # tensors are exactly the phase form of what the image-space
+        # buffer would return.
+        if self.phase_d:
+            from floodgan_tpu.ops.nn_ops import space_to_depth_phases as s2d
+
+            real_pre_d, real_post_d = s2d(real_pre), s2d(real_post)
+            syn_pre_d, syn_post_d = s2d(synthetic_pre_c), s2d(synthetic_post_c)
+            d_splits = (self.input_channels,)
+        else:
+            real_pre_d, real_post_d = real_pre, real_post
+            syn_pre_d, syn_post_d = synthetic_pre_c, synthetic_post_c
+            d_splits = None
         k_pre, k_post = jax.random.split(rng)
         pre_buffer, buffered_pre = state.pre_buffer.query_batch(
-            jax.lax.stop_gradient(synthetic_pre_c), k_pre
+            jax.lax.stop_gradient(syn_pre_d), k_pre
         )
         post_buffer, buffered_post = state.post_buffer.query_batch(
-            jax.lax.stop_gradient(synthetic_post_c), k_post
+            jax.lax.stop_gradient(syn_post_d), k_post
         )
 
         # ---- discriminator update (reference model.py:726-739) ----
@@ -307,11 +346,11 @@ class CycleTrainer:
             b = real_pre.shape[0]
             x2 = jnp.stack(
                 [
-                    jnp.concatenate([real_pre, buffered_pre.astype(real_pre.dtype)], axis=0),
-                    jnp.concatenate([real_post, buffered_post.astype(real_post.dtype)], axis=0),
+                    jnp.concatenate([real_pre_d, buffered_pre.astype(real_pre_d.dtype)], axis=0),
+                    jnp.concatenate([real_post_d, buffered_post.astype(real_post_d.dtype)], axis=0),
                 ]
             )
-            pred = self.disc_apply_pair(dboth, x2)
+            pred = self.disc_apply_pair(dboth, x2, phase_splits=d_splits)
             loss_real_pre = lsgan_mse(pred[0, :b], 1.0)
             loss_syn_pre = lsgan_mse(pred[0, b:], 0.0)
             loss_real_post = lsgan_mse(pred[1, :b], 1.0)

@@ -328,3 +328,36 @@ def test_phase_stem_conv_golden(rng):
     g1 = jax.grad(lambda w: jnp.sum(conv2d(x, w, b, stride=2, padding=1) ** 2))(W)
     g2 = jax.grad(lambda w: jnp.sum(conv2d_s2_phase_input(xp, w, (9, 3), b) ** 2))(W)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-3)
+
+
+def test_cycle_phase_d_matches_image_d(rng):
+    """Cycle step with the phase-space discriminator path (phase replay
+    buffers + ops.conv2d_s2_phase_input stem) must reproduce the
+    image-space step's loss trajectory (same Adam-amplified float-noise
+    caveat as the paired phase-step test)."""
+    from floodgan_tpu.train.cycle import CycleTrainer
+
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 9), dtype=np.float32) * 0.5)
+    y = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32) * 0.5)
+    a = CycleTrainer("cyclegan", 9, phase_d=False)
+    b = CycleTrainer("cyclegan", 9, phase_d=True)
+    sa = a.init(jax.random.key(5), x, y)
+    sb = b.init(jax.random.key(5), x, y)
+    key = jax.random.key(1)
+    lr = jnp.float32(2e-4)
+    for step in range(2):
+        sa, ma = a.train_step(sa, x, y, lr, key)
+        sb, mb = b.train_step(sb, x, y, lr, key)
+        for k in ma:
+            np.testing.assert_allclose(
+                float(ma[k]), float(mb[k]), rtol=2e-3, atol=1e-4,
+                err_msg=f"step{step} {k}",
+            )
+    # buffers hold the same images, space-to-depth'd
+    bi = np.asarray(sa.pre_buffer.images[:2])
+    bp = np.asarray(sb.pre_buffer.images[:2])
+    n, h, w, c = bi.shape
+    s2d = bi.reshape(n, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5).reshape(
+        n, h // 2, w // 2, 4 * c
+    )
+    np.testing.assert_allclose(s2d, bp, rtol=2e-2, atol=1e-2)
