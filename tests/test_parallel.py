@@ -260,10 +260,12 @@ def test_multihost_loader_stripes_partition_global_batches(tmp_path, rng):
         np.testing.assert_allclose(merged, np.asarray(w["input"]), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_seg_unet_spatial_sharded_forward(rng):
     """Segmentation U-Net under the (data, spatial) mesh: GSPMD partitions
     the maxpool/convT/concat pyramid with halo exchange — logits must
-    match unsharded execution."""
+    match unsharded execution.  (Slow tier: the attention-generator
+    spatial forward above is the fast-tier halo check.)"""
     from floodgan_tpu.parallel.mesh import shard_images
     from floodgan_tpu.train.seg import SegTrainer
 

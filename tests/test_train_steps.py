@@ -274,6 +274,7 @@ def test_image_buffer_policy():
     assert 0.3 < returned_old / n < 0.7
 
 
+@pytest.mark.slow
 def test_phase_step_matches_image_step(rng):
     """The phase-native paired step (generator output, L1, and D stem all
     in 2x2 phase space — ops.conv2d_s2_phase_input) must reproduce the
@@ -330,6 +331,7 @@ def test_phase_stem_conv_golden(rng):
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_cycle_phase_d_matches_image_d(rng):
     """Cycle step with the phase-space discriminator path (phase replay
     buffers + ops.conv2d_s2_phase_input stem) must reproduce the
