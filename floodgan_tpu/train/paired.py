@@ -75,9 +75,13 @@ class PairedTrainer:
         # 46.9 -> 50.3 samples/s at 512^2 b8 on v5e — DEFAULT ON;
         # FLOODGAN_PHASE_STEP=0 restores the image-space step.
         if phase_step is None:
+            # Default ON everywhere: measured 46.9 -> 50.3 samples/s for
+            # the attention family and 157 -> 174.4 for pix2pix (whose
+            # U-Net still emits full-res; the phase win there is every
+            # downstream consumer).  FLOODGAN_PHASE_STEP=0 reverts.
             phase_step = os.environ.get("FLOODGAN_PHASE_STEP", "1") != "0"
-        self.phase_step = bool(phase_step) and self.returns_mask
-        if self.phase_step:
+        self.phase_step = bool(phase_step)
+        if self.phase_step and self.returns_mask:
             self.generator_phase = build_generator(
                 model, input_channels, dropout_rate, phase_output=True
             )
@@ -236,7 +240,17 @@ class PairedTrainer:
         x_p = space_to_depth_phases(input_stack)
         y_p = space_to_depth_phases(output_image)
 
-        gen_fwd = lambda gp: self._gen_apply_phase(gp, input_stack, rng)
+        if self.returns_mask:
+            # attention family: the generator tail already lives in phase
+            # space, so its output never exists at full resolution.
+            gen_fwd = lambda gp: self._gen_apply_phase(gp, input_stack, rng)
+        else:
+            # pix2pix: the U-Net head emits a full-resolution image; the
+            # explicit space-to-depth keeps everything DOWNSTREAM (L1 and
+            # both discriminator reads) off the 42.7x-padded layouts.
+            gen_fwd = lambda gp: space_to_depth_phases(
+                self.gen_apply(gp, input_stack, rng)
+            )
         if self.remat:
             gen_fwd = jax.checkpoint(
                 gen_fwd,

@@ -82,7 +82,11 @@ def test_paired_step_matches_reference_recipe(ref, rng):
     opt_d = torch.optim.Adam(td.parameters(), lr=2e-4, betas=(0.5, 0.999))
     opt_g = torch.optim.Adam(tg.parameters(), lr=2e-4, betas=(0.5, 0.999))
 
-    trainer = PairedTrainer("pix2pix", C, dropout_rate=0.0)
+    # phase_step=False pins the image-space golden path against torch;
+    # the phase-native step is tied to it by
+    # test_phase_step_matches_image_step (the tolerances there absorb the
+    # reordering noise this rtol=2e-4 comparison cannot).
+    trainer = PairedTrainer("pix2pix", C, dropout_rate=0.0, phase_step=False)
     gen_params = ti.params_from_torch(ti.pix2pix_generator_spec(), list(tg.named_parameters()))
     disc_params = ti.params_from_torch(ti.patchgan_spec("batch"), list(td.named_parameters()))
     from floodgan_tpu.train.paired import PairedState
@@ -363,3 +367,28 @@ def test_cycle_phase_d_matches_image_d(rng):
         n, h // 2, w // 2, 4 * c
     )
     np.testing.assert_allclose(s2d, bp, rtol=2e-2, atol=1e-2)
+
+
+@pytest.mark.slow
+def test_pix2pix_phase_step_matches_image_step(rng):
+    """pix2pix under the phase-native step (default on): the U-Net output
+    is space-to-depth'd explicitly; L1 and both D reads run in phase
+    space.  Loss trajectory must match the image-space step."""
+    from floodgan_tpu.train.paired import PairedTrainer
+
+    x = jnp.asarray(rng.standard_normal((1, 256, 256, 9), dtype=np.float32) * 0.3)
+    y = jnp.asarray(rng.standard_normal((1, 256, 256, 3), dtype=np.float32) * 0.3)
+    a = PairedTrainer("pix2pix", 9, phase_step=False)
+    b = PairedTrainer("pix2pix", 9, phase_step=True)
+    sa = a.init(jax.random.key(0), x, y)
+    sb = b.init(jax.random.key(0), x, y)
+    key = jax.random.key(7)
+    lr = jnp.float32(2e-4)
+    for step in range(2):
+        sa, ma = a.train_step(sa, x, y, lr, key)
+        sb, mb = b.train_step(sb, x, y, lr, key)
+        for k in ma:
+            np.testing.assert_allclose(
+                float(ma[k]), float(mb[k]), rtol=2e-3, atol=1e-4,
+                err_msg=f"step{step} {k}",
+            )
