@@ -53,24 +53,10 @@ def _adapt_cycle_buffer_layout(template_state, raw: dict) -> dict:
     """Convert cycle replay-buffer arrays between image and 2x2 phase
     layouts when a checkpoint was written under the other
     FLOODGAN_CYCLE_PHASE_D setting — the buffers hold the same images
-    either way, just space-to-depth'd, so checkpoints stay interchangeable."""
-
-    def s2d(a):
-        n, h, w, c = a.shape
-        return (
-            a.reshape(n, h // 2, 2, w // 2, 2, c)
-            .transpose(0, 1, 3, 2, 4, 5)
-            .reshape(n, h // 2, w // 2, 4 * c)
-        )
-
-    def d2s(a):
-        n, h2, w2, c4 = a.shape
-        c = c4 // 4
-        return (
-            a.reshape(n, h2, w2, 2, 2, c)
-            .transpose(0, 1, 3, 2, 4, 5)
-            .reshape(n, 2 * h2, 2 * w2, c)
-        )
+    either way, just space-to-depth'd, so checkpoints stay interchangeable.
+    Uses the ONE phase-layout implementation (ops.nn_ops) so the stored
+    channel convention can never drift from what the phase convs expect."""
+    from floodgan_tpu.ops.nn_ops import depth_to_space_phases, space_to_depth_phases
 
     raw = dict(raw)
     for key in ("pre_buffer", "post_buffer"):
@@ -80,10 +66,13 @@ def _adapt_cycle_buffer_layout(template_state, raw: dict) -> dict:
         have = np.asarray(raw[key]["images"])
         if tuple(have.shape) == want:
             continue
-        if tuple(s2d(have).shape) == want:
-            converted = s2d(have)
-        elif tuple(d2s(have).shape) == want:
-            converted = d2s(have)
+        n, a, b, c = have.shape
+        if (n, a // 2, b // 2, 4 * c) == want:  # image ckpt -> phase run
+            converted = np.asarray(space_to_depth_phases(jnp.asarray(have)))
+        elif (n, 2 * a, 2 * b, c // 4) == want:  # phase ckpt -> image run
+            converted = np.asarray(
+                depth_to_space_phases(jnp.asarray(have), 2 * a, 2 * b, c // 4)
+            )
         else:
             raise ValueError(
                 f"checkpoint {key} images {have.shape} are incompatible with "
@@ -94,11 +83,12 @@ def _adapt_cycle_buffer_layout(template_state, raw: dict) -> dict:
 
 
 def _safe_print(msg: str) -> None:
-    """print that survives an orphaned stdout (parent process gone mid-
-    preemption) — losing a log line must never cost a checkpoint."""
+    """print that survives an orphaned or closed stdout (parent process
+    gone mid-preemption, supervisor closed the fd) — losing a log line
+    must never cost a checkpoint."""
     try:
         print(msg)
-    except BrokenPipeError:
+    except (BrokenPipeError, ValueError, OSError):
         pass
 
 
@@ -371,9 +361,10 @@ class Model:
         def _preempted(signum, frame):
             raise KeyboardInterrupt
 
-        old_term = None
+        old_term, installed = None, False
         try:
             old_term = _signal.signal(_signal.SIGTERM, _preempted)
+            installed = True  # old_term may legitimately be None (non-Python handler)
         except ValueError:
             pass
         try:
@@ -388,8 +379,11 @@ class Model:
                 self.wait_for_checkpoints()
             raise
         finally:
-            if old_term is not None:
-                _signal.signal(_signal.SIGTERM, old_term)
+            if installed:
+                _signal.signal(
+                    _signal.SIGTERM,
+                    old_term if old_term is not None else _signal.SIG_DFL,
+                )
 
     def _train_epochs(self) -> None:
         for epoch in range(self.starting_epoch, self.num_epochs + 1):

@@ -54,10 +54,17 @@ class AsyncCheckpointer:
         self._pending = None
 
     def save(self, path: str, meta: Dict[str, Any], state: Any) -> None:
+        import copy
+
         import jax
 
         self.wait()  # serialize writes; surfaces a prior failure here
         host_state = jax.device_get(state)
+        # Snapshot meta on the caller thread too: it aliases live training
+        # bookkeeping (all_losses lists the loop keeps appending to), and a
+        # worker-thread json.dumps would serialize whatever they hold by
+        # the time the write happens.
+        meta = copy.deepcopy(meta)
         self._pending = self._pool.submit(save_checkpoint, path, meta, host_state)
 
     def wait(self) -> None:

@@ -46,7 +46,14 @@ class TorchConv(nn.Module):
         if phase_splits is not None:
             # x is a phase-space concat (see ops.conv2d_s2_phase_input);
             # parameters are the ordinary image-space kernel, so the two
-            # calling conventions share checkpoints bit for bit.
+            # calling conventions share checkpoints bit for bit.  The
+            # lowering is derived for k4 s2 p1 only — reject anything else
+            # loudly rather than silently computing those semantics.
+            if self.stride != 2 or self.padding != 1 or self.kernel != 4:
+                raise ValueError(
+                    "phase_splits requires a k4 s2 p1 conv (got "
+                    f"k{self.kernel} s{self.stride} p{self.padding})"
+                )
             cin = sum(phase_splits)
             w = self.param("weight", conv_init, (self.kernel, self.kernel, cin, self.features))
             b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None

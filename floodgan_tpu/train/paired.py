@@ -158,33 +158,73 @@ class PairedTrainer:
     def train_step(
         self, state: PairedState, input_stack, output_image, lr, rng
     ) -> Tuple[PairedState, Dict[str, jax.Array]]:
-        if self.phase_step:
-            return self._train_step_phase(state, input_stack, output_image, lr, rng)
-        cfg = self.cfg
+        """One adversarial step, in one of two REPRESENTATIONS of the same
+        math (reference models/model.py:598-658):
 
-        gen_fwd = lambda gp: self.gen_apply(gp, input_stack, rng)
+        - image space (the reference-pinned golden path), or
+        - 2x2 phase space (self.phase_step, default): the generator
+          output, L1 operands and discriminator reads stay space-to-
+          depth'd — the generator's phase tail never materialises the
+          full-res image (attention family) or it is s2d'd once
+          (pix2pix), and the D stem is the identical k4 s2 conv evaluated
+          on phase channels (ops.conv2d_s2_phase_input, golden-tested).
+          (N, H, W, 3/12) tensors pad C -> 128 lanes (42.7x) on TPU;
+          their phase forms pad 128/(4C) — measured 46.9 -> 50.3
+          samples/s (attention) and 157 -> 174.4 (pix2pix) at 512^2 b8.
+
+        Everything after the representation choice — D update, G update
+        against the updated D, Adam, metrics — is the single body below.
+        """
+        from floodgan_tpu.ops.nn_ops import space_to_depth_phases
+
+        if self.phase_step:
+            splits = (input_stack.shape[-1], 3)
+            x_rep = space_to_depth_phases(input_stack)
+            y_rep = space_to_depth_phases(output_image)
+            if self.returns_mask:
+                # attention family: the tail already lives in phase space.
+                gen_fwd = lambda gp: self._gen_apply_phase(gp, input_stack, rng)
+            else:
+                # pix2pix: the U-Net head emits full-res; one explicit s2d
+                # keeps everything downstream off the padded layouts.
+                gen_fwd = lambda gp: space_to_depth_phases(
+                    self.gen_apply(gp, input_stack, rng)
+                )
+            disc_fn = lambda dp, x: self._disc_apply_phase(dp, x, splits)
+        else:
+            x_rep, y_rep = input_stack, output_image
+            gen_fwd = lambda gp: self.gen_apply(gp, input_stack, rng)
+            disc_fn = self.disc_apply
+
         if self.remat:
             # Segmented remat: save only the named segment boundaries the
             # generators mark (models/attention.py) — the backward pass
             # recomputes one segment at a time, so peak memory is the
             # largest segment, not the whole forward.  Falls back to full
-            # recompute-from-inputs semantics when a model has no markers
-            # (everything unsaved is recomputed from the function inputs).
+            # recompute-from-inputs semantics when a model has no markers.
             gen_fwd = jax.checkpoint(
                 gen_fwd,
                 policy=jax.checkpoint_policies.save_only_these_names("seg_boundary"),
             )
+        return self._adversarial_update(state, x_rep, y_rep, gen_fwd, disc_fn, lr)
+
+    def _adversarial_update(
+        self, state: PairedState, x_rep, y_rep, gen_fwd, disc_fn, lr
+    ) -> Tuple[PairedState, Dict[str, jax.Array]]:
+        """The shared D-then-G body; x_rep/y_rep/gen_fwd outputs must all
+        live in the same representation (image or phase space)."""
+        cfg = self.cfg
         synthetic, gen_vjp = jax.vjp(gen_fwd, state.gen_params)
-        concat_real = jnp.concatenate([input_stack, output_image], axis=-1)
+        concat_real = jnp.concatenate([x_rep, y_rep], axis=-1)
         concat_syn = jnp.concatenate(
-            [input_stack, jax.lax.stop_gradient(synthetic)], axis=-1
+            [x_rep, jax.lax.stop_gradient(synthetic)], axis=-1
         )
 
         # ---- discriminator update (reference model.py:620-633) ----
         def d_loss_fn(dp):
-            pred_syn = self.disc_apply(dp, concat_syn)
+            pred_syn = disc_fn(dp, concat_syn)
             loss_syn = lsgan_mse(pred_syn, 0.0)
-            pred_real = self.disc_apply(dp, concat_real)
+            pred_real = disc_fn(dp, concat_real)
             loss_real = lsgan_mse(pred_real, 1.0)
             return (loss_syn + loss_real) * cfg.disc_weight, (loss_syn, loss_real)
 
@@ -197,96 +237,14 @@ class PairedTrainer:
 
         # ---- generator update against the updated D (ref :636-646) ----
         def g_loss_from_syn(syn):
-            pred = self.disc_apply(
-                disc_params, jnp.concatenate([input_stack, syn], axis=-1)
-            )
+            pred = disc_fn(disc_params, jnp.concatenate([x_rep, syn], axis=-1))
             loss_adv = lsgan_mse(pred, 1.0)
-            loss_l1 = l1_loss(syn, output_image) * cfg.l1_weight
+            loss_l1 = l1_loss(syn, y_rep) * cfg.l1_weight
             return loss_adv + loss_l1, (loss_adv, loss_l1)
 
         (_, (loss_g_adv, loss_g_l1)), syn_grad = jax.value_and_grad(
             g_loss_from_syn, has_aux=True
         )(synthetic)
-        (g_grads,) = gen_vjp(syn_grad)
-        gen_params, gen_opt = apply_adam(
-            self.tx, state.gen_params, state.gen_opt, g_grads, lr
-        )
-
-        new_state = PairedState(gen_params, disc_params, gen_opt, disc_opt)
-        metrics = {
-            "losses_discriminator_real": loss_d_real,
-            "losses_discriminator_synthetic": loss_d_syn,
-            "losses_generator_synthetic": loss_g_adv,
-            "l1_losses_generator_synthetic": loss_g_l1,
-        }
-        return new_state, metrics
-
-    def _train_step_phase(
-        self, state: PairedState, input_stack, output_image, lr, rng
-    ) -> Tuple[PairedState, Dict[str, jax.Array]]:
-        """The paired step with every image-like tensor in 2x2 phase space.
-
-        Identical math to the image-space step (reference
-        models/model.py:598-658): the generator's phase tail already
-        composes in phase space, the L1 mean runs over the same elements,
-        and the discriminator stem is the same k4 s2 conv evaluated on
-        phase channels (ops.conv2d_s2_phase_input, golden-tested).  What
-        changes is storage: (N, H, W, 3/12) tensors pad C -> 128 lanes
-        (42.7x) on TPU; their phase forms pad 128/(4C)."""
-        from floodgan_tpu.ops.nn_ops import space_to_depth_phases
-
-        cfg = self.cfg
-        splits = (input_stack.shape[-1], 3)
-        x_p = space_to_depth_phases(input_stack)
-        y_p = space_to_depth_phases(output_image)
-
-        if self.returns_mask:
-            # attention family: the generator tail already lives in phase
-            # space, so its output never exists at full resolution.
-            gen_fwd = lambda gp: self._gen_apply_phase(gp, input_stack, rng)
-        else:
-            # pix2pix: the U-Net head emits a full-resolution image; the
-            # explicit space-to-depth keeps everything DOWNSTREAM (L1 and
-            # both discriminator reads) off the 42.7x-padded layouts.
-            gen_fwd = lambda gp: space_to_depth_phases(
-                self.gen_apply(gp, input_stack, rng)
-            )
-        if self.remat:
-            gen_fwd = jax.checkpoint(
-                gen_fwd,
-                policy=jax.checkpoint_policies.save_only_these_names("seg_boundary"),
-            )
-        syn_p, gen_vjp = jax.vjp(gen_fwd, state.gen_params)
-        concat_real = jnp.concatenate([x_p, y_p], axis=-1)
-        concat_syn = jnp.concatenate(
-            [x_p, jax.lax.stop_gradient(syn_p)], axis=-1
-        )
-
-        def d_loss_fn(dp):
-            pred_syn = self._disc_apply_phase(dp, concat_syn, splits)
-            loss_syn = lsgan_mse(pred_syn, 0.0)
-            pred_real = self._disc_apply_phase(dp, concat_real, splits)
-            loss_real = lsgan_mse(pred_real, 1.0)
-            return (loss_syn + loss_real) * cfg.disc_weight, (loss_syn, loss_real)
-
-        d_grads, (loss_d_syn, loss_d_real) = jax.grad(d_loss_fn, has_aux=True)(
-            state.disc_params
-        )
-        disc_params, disc_opt = apply_adam(
-            self.tx, state.disc_params, state.disc_opt, d_grads, lr
-        )
-
-        def g_loss_from_syn(syn):
-            pred = self._disc_apply_phase(
-                disc_params, jnp.concatenate([x_p, syn], axis=-1), splits
-            )
-            loss_adv = lsgan_mse(pred, 1.0)
-            loss_l1 = l1_loss(syn, y_p) * cfg.l1_weight
-            return loss_adv + loss_l1, (loss_adv, loss_l1)
-
-        (_, (loss_g_adv, loss_g_l1)), syn_grad = jax.value_and_grad(
-            g_loss_from_syn, has_aux=True
-        )(syn_p)
         (g_grads,) = gen_vjp(syn_grad)
         gen_params, gen_opt = apply_adam(
             self.tx, state.gen_params, state.gen_opt, g_grads, lr

@@ -42,8 +42,12 @@ def main() -> None:
 
     trainer_cls = CycleTrainer if model_is_cycle(args.model) else PairedTrainer
     trainer = trainer_cls(args.model, 9)
+    # pix2pix's U-Net requires 256-divisible spatial dims even at init
+    init_hw = 256 if args.model.lower() == "pix2pix" else 64
     state = trainer.init(
-        jax.random.key(0), jnp.zeros((1, 64, 64, 9)), jnp.zeros((1, 64, 64, 3))
+        jax.random.key(0),
+        jnp.zeros((1, init_hw, init_hw, 9)),
+        jnp.zeros((1, init_hw, init_hw, 3)),
     )
 
     for b in args.batches:
