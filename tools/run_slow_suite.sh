@@ -10,7 +10,8 @@ set -u
 cd "$(dirname "$0")/.."
 rc=0
 for f in tests/test_*.py; do
-    n=$(python -m pytest "$f" -q -m slow --collect-only 2>/dev/null | grep -c "::") || true
+    n=$(python -m pytest "$f" -q -m slow --collect-only 2>/dev/null \
+        | awk -F': ' '/^tests\//{s+=$2} END{print s+0}')
     [ "$n" = "0" ] && continue
     echo "=== $f ($n slow tests) ==="
     python -m pytest "$f" -q -m slow || rc=1
