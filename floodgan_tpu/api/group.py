@@ -169,7 +169,12 @@ class ModelsGroup:
                     per_image["LPIPS"][name].extend(np.asarray(lpips(out01, y01)).tolist())
                 else:
                     per_image["LPIPS"][name].extend([float("nan")] * out01.shape[0])
-                per_image["Inference"][name].append(inference_time)
+                # per-image wall time (batch call amortized) — keeps the
+                # reference's per-image Inference semantics and the 5-sample
+                # warmup discard meaningful at --batch_size > 1.
+                per_image["Inference"][name].extend(
+                    [inference_time / xin.shape[0]] * xin.shape[0]
+                )
 
                 out_mask = seg.predict_mask(out01)
                 true_mask = seg.predict_mask(y01)

@@ -558,7 +558,12 @@ class Model:
                 per_image["LPIPS"].extend(np.asarray(self.lpips(out01, y01)).tolist())
             else:
                 per_image["LPIPS"].extend([float("nan")] * out01.shape[0])
-            per_image["Inference"].append(inference_time)
+            # Per-IMAGE wall time, as the reference records at its fixed
+            # batch 1 (ref models/model.py:392-396,407): amortize the batch
+            # call so the Inference column keeps its meaning (and the
+            # 5-sample warmup discard in ModelsGroup keeps its scale) when
+            # --batch_size > 1.
+            per_image["Inference"].extend([inference_time / x.shape[0]] * x.shape[0])
             out_mask = seg.predict_mask(out01)
             true_mask = seg.predict_mask(y01)
             masks.update(out_mask, true_mask)

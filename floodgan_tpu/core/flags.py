@@ -20,6 +20,8 @@ import jax
 # FLOODGAN_PALLAS=1.
 _TPU_PLATFORMS = ("tpu",)
 
+_PALLAS_KERNELS = {"in", "compose"}
+
 
 def use_pallas(which: str = "") -> bool:
     """Whether to route ``which`` ("in" | "compose" | "" = any) through the
@@ -39,12 +41,18 @@ def use_pallas(which: str = "") -> bool:
         return False
     if env.lower() in ("0", "false", "off", "no", ""):
         return False
-    names = {s.strip().lower() for s in env.split(",")}
-    if names & {"in", "compose"}:
-        return (which or "in") in names or not which
-    # Any other non-empty value ("1", "yes", "on", "2", ...) means ALL
-    # kernels — generic truthiness, so old commands keep their meaning.
-    return True
+    if env.lower() in ("1", "true", "on", "yes"):
+        return True
+    names = {s.strip().lower() for s in env.split(",") if s.strip()}
+    unknown = names - _PALLAS_KERNELS
+    if unknown:
+        # A typo ("inn") or stale kernel name must not silently flip every
+        # Pallas path on (ADVICE r2) — reject it loudly.
+        raise ValueError(
+            f"FLOODGAN_PALLAS: unknown kernel name(s) {sorted(unknown)}; "
+            f"expected 0/1/true/false or a comma list of {sorted(_PALLAS_KERNELS)}"
+        )
+    return (which or "in") in names or not which
 
 
 def norm_arith_bf16() -> bool:

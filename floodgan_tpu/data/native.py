@@ -1,9 +1,10 @@
 """ctypes bindings for the native (C++) batch TIFF decoder.
 
 Builds ``native/libfloodgan_native.so`` on first use (make, ~1s) and falls
-back silently to the pure-python codec (data/tiff.py) when a toolchain or
-zlib headers are unavailable, or when a file uses a feature the native path
-does not cover (it returns an error code rather than guessing).
+back to the pure-python codec (data/tiff.py) when a toolchain or zlib
+headers are unavailable, or when a file uses a feature the native path
+does not cover (it returns an error code rather than guessing).  The
+fallback is ~100x slower, so it warns once rather than hiding the cliff.
 """
 
 from __future__ import annotations
@@ -52,8 +53,16 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64,
             ]
             _lib = lib
-        except Exception:
+        except Exception as e:
             _lib = None
+            import warnings
+
+            warnings.warn(
+                "native TIFF decoder unavailable (build/load failed: "
+                f"{type(e).__name__}: {e}); falling back to the ~100x "
+                "slower pure-python codec.  Set FLOODGAN_DISABLE_NATIVE=1 "
+                "to silence this if intentional."
+            )
         return _lib
 
 

@@ -5,7 +5,7 @@ normalisation per item on the CPU inside DataLoader workers (reference
 models/utils.py:19-67) — its dominant input-pipeline cost.  Here the host
 only decodes TIFFs; everything else runs as one fused XLA program over the
 batch on device (SURVEY.md §7 layer 2).  Formulas are the golden spec from
-utils.py:30-61, verified in tests/test_transforms.py.
+utils.py:30-61, verified in tests/test_data.py.
 """
 
 from __future__ import annotations

@@ -6,9 +6,10 @@ which cannot be downloaded in an offline environment, so weights load from
 an ``.npz`` produced by ``floodgan_tpu/utils/export_lpips.py`` on any
 machine with the ``lpips`` package (or torchmetrics) installed.  Set
 ``FLOODGAN_LPIPS_WEIGHTS`` or pass ``weights_path``.  When absent, the
-metric falls back to deterministic seed-47 random features (see
-``fallback_weights``) so the column is always live; set
-``FLOODGAN_LPIPS_FALLBACK=0`` to report NaN instead (schema preserved).
+LPIPS column reports NaN (schema preserved) — trained-LPIPS numbers are
+never silently substituted.  Setting ``FLOODGAN_LPIPS_FALLBACK=1`` opts in
+to deterministic seed-47 random features (see ``fallback_weights``), which
+are reproducible but NOT comparable to torchmetrics' trained LPIPS.
 
 Computation (lpips.LPIPS(net='alex'), the torchmetrics default):
   scale inputs by the fixed shift/scale stats; run AlexNet conv features;
@@ -163,26 +164,29 @@ def load_lpips(weights_path: Optional[str] = None) -> Optional[LPIPS]:
         return LPIPS(dict(np.load(_asset_path())))
     except Exception:
         pass
-    if os.environ.get("FLOODGAN_LPIPS_FALLBACK", "1") != "0":
+    if os.environ.get("FLOODGAN_LPIPS_FALLBACK") == "1":
+        # Opt-in only: fallback values share the trained-LPIPS CSV schema,
+        # so defaulting to them would let downstream consumers mistake
+        # random-feature numbers for the reference metric (ADVICE r2).
         if not _warned:
             warnings.warn(
-                "Pretrained LPIPS weights not found (FLOODGAN_LPIPS_WEIGHTS, "
-                f"repo asset {_asset_path()}, `lpips` auto-export all "
-                "unavailable); using the deterministic random-feature "
-                "fallback (seed 47).  The LPIPS column is live and "
+                "FLOODGAN_LPIPS_FALLBACK=1: using the deterministic "
+                "random-feature LPIPS fallback (seed 47).  Values are "
                 "reproducible but NOT numerically comparable to "
                 "torchmetrics' trained LPIPS — export the real npz via "
-                "floodgan_tpu/utils/export_lpips.py for exact parity.  Set "
-                "FLOODGAN_LPIPS_FALLBACK=0 to report NaN instead."
+                "floodgan_tpu/utils/export_lpips.py for exact parity."
             )
             _warned = True
         return LPIPS(fallback_weights())
     if not _warned:
         warnings.warn(
-            "LPIPS weights not found and the random-feature fallback is "
-            "disabled (FLOODGAN_LPIPS_FALLBACK=0); the LPIPS column is NaN. "
-            "Run floodgan_tpu/utils/export_lpips.py on a networked machine "
-            "and commit the npz."
+            "Pretrained LPIPS weights not found (FLOODGAN_LPIPS_WEIGHTS, "
+            f"repo asset {_asset_path()}, `lpips` auto-export all "
+            "unavailable); the LPIPS column is NaN.  Run "
+            "floodgan_tpu/utils/export_lpips.py on a networked machine and "
+            "commit the npz, or set FLOODGAN_LPIPS_FALLBACK=1 for a "
+            "deterministic random-feature stand-in (not comparable to the "
+            "trained metric)."
         )
         _warned = True
     return None

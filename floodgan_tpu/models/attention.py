@@ -101,13 +101,16 @@ class AttentionGenerator(nn.Module):
 
         if content_r[0] == "phases" or attn_r[0] == "phases":
             # Both heads see the same H/W and stride-1 narrow-cout convs,
-            # so phase-fold eligibility must agree; assert it rather than
-            # letting a future eligibility tweak feed a phase-space tensor
-            # into the full-resolution compose below.
-            assert content_r[0] == attn_r[0] == "phases", (
-                "phase-fold eligibility diverged between the content and "
-                f"attention heads ({content_r[0]} vs {attn_r[0]})"
-            )
+            # so phase-fold eligibility must agree.  Raise (not assert —
+            # stripped under python -O) rather than let a future
+            # eligibility tweak feed a phase-space tensor into the
+            # full-resolution compose below, which would produce silently
+            # wrong outputs.
+            if not (content_r[0] == attn_r[0] == "phases"):
+                raise RuntimeError(
+                    "phase-fold eligibility diverged between the content and "
+                    f"attention heads ({content_r[0]} vs {attn_r[0]})"
+                )
             _, content_p, out_h, out_w = content_r
             _, attn_p, _, _ = attn_r
             n, h2, w2, _ = content_p.shape

@@ -92,6 +92,7 @@ class MultiHostBatchLoader:
             prefetch=prefetch,
         )
         self.drop_remainder = True  # global batches must tile the mesh
+        self._auto_epoch = 0  # advanced by __iter__; see its docstring
 
     def __len__(self) -> int:
         return len(self.dataset) // self.batch_size
@@ -152,4 +153,12 @@ class MultiHostBatchLoader:
         )
 
     def __iter__(self) -> Iterator[dict]:
-        return self.epoch_iter(0)
+        # Plain iteration advances the shuffle epoch each pass so a
+        # training loop using ``for batch in loader`` repeatedly gets a
+        # fresh (but still globally-consistent) order per epoch; every
+        # process increments in lockstep since they all call __iter__ once
+        # per epoch.  Loops that need explicit control (resume at epoch k)
+        # call ``epoch_iter(k)`` directly, which does not touch the counter.
+        epoch = self._auto_epoch
+        self._auto_epoch += 1
+        return self.epoch_iter(epoch)

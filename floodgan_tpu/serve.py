@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from floodgan_tpu.ckpt import load_checkpoint
 from floodgan_tpu.core.config import TOPOGRAPHY_CHANNELS
 from floodgan_tpu.core.rng import RngStreams
@@ -368,6 +370,18 @@ def serve_http(repo: ModelRepository, host: str = "127.0.0.1", port: int = 8000)
             except KeyError as e:
                 return self._json(404, {"error": str(e)})
             length = int(self.headers.get("Content-Length", 0))
+            # Bound the body before reading: N_max batches of the engine's
+            # input shape (f64 worst case) plus npy header slack.  An
+            # unbounded read would let one oversized request OOM the server
+            # (the batcher additionally pads partial batches to full AOT
+            # shape, compounding per-request memory).
+            max_body = 8 * int(
+                os.environ.get("FLOODGAN_SERVE_MAX_BATCH", "64")
+            ) * int(np.prod(fe.engine.input_shape)) + 4096
+            if length > max_body:
+                return self._json(413, {
+                    "error": f"body {length} bytes exceeds limit {max_body}"
+                })
             try:
                 arr = np.load(io.BytesIO(self.rfile.read(length)), allow_pickle=False)
             except Exception as e:

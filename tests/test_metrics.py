@@ -172,16 +172,18 @@ def test_lpips_math_matches_torch_replication(rng):
 
 
 def test_lpips_fallback_is_deterministic_and_live(monkeypatch):
-    """With no weights artifact anywhere, load_lpips returns the seed-47
-    random-feature metric (VERDICT r1 item 5: the LPIPS column must be
-    live with no env setup) — identical values on every machine — and the
-    NaN path only triggers when explicitly disabled."""
+    """The random-feature fallback is OPT-IN (ADVICE r2: fallback values
+    share the trained-LPIPS CSV schema, so the default with no weights is
+    NaN — never silently substituted numbers).  With
+    FLOODGAN_LPIPS_FALLBACK=1 the seed-47 metric is identical on every
+    machine."""
     from floodgan_tpu.eval import lpips as L
 
     monkeypatch.delenv("FLOODGAN_LPIPS_WEIGHTS", raising=False)
     monkeypatch.setattr(L, "_asset_path", lambda: "/nonexistent/lpips.npz")
     monkeypatch.setattr(L, "_warned", True)
 
+    monkeypatch.setenv("FLOODGAN_LPIPS_FALLBACK", "1")
     metric = L.load_lpips()
     assert metric is not None
     rng = np.random.default_rng(3)
@@ -193,5 +195,5 @@ def test_lpips_fallback_is_deterministic_and_live(monkeypatch):
     assert np.isfinite(d1).all() and (d1 > 0).all()
     np.testing.assert_allclose(np.asarray(metric(x, x)), 0.0, atol=1e-6)
 
-    monkeypatch.setenv("FLOODGAN_LPIPS_FALLBACK", "0")
-    assert L.load_lpips() is None
+    monkeypatch.delenv("FLOODGAN_LPIPS_FALLBACK")
+    assert L.load_lpips() is None  # NaN column is the no-weights default

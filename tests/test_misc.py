@@ -71,6 +71,9 @@ def test_use_pallas_env_override(monkeypatch):
     assert use_pallas("in") and not use_pallas("compose")
     monkeypatch.setenv("FLOODGAN_PALLAS", "in,compose")
     assert use_pallas("in") and use_pallas("compose")
+    monkeypatch.setenv("FLOODGAN_PALLAS", "inn")  # typo must not enable ALL
+    with pytest.raises(ValueError, match="unknown kernel"):
+        use_pallas("in")
     monkeypatch.delenv("FLOODGAN_PALLAS")
     assert use_pallas() is False  # default off (XLA fusion wins, BENCH_NOTES)
 
