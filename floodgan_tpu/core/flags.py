@@ -55,6 +55,16 @@ def use_pallas(which: str = "") -> bool:
     return (which or "in") in names or not which
 
 
+def custom_vjp_norms() -> bool:
+    """Whether the norm/pad chains use the hand-derived closed-form VJPs
+    (ops/fused_grads.py) instead of autodiff through the statistics
+    formulas.  Forward numerics are identical; the backward is the same
+    math with fewer passes over HBM.  FLOODGAN_CUSTOM_VJP=0 reverts."""
+    return os.environ.get("FLOODGAN_CUSTOM_VJP", "1").lower() not in (
+        "0", "false", "off", "no", "",
+    )
+
+
 def norm_arith_bf16() -> bool:
     """Whether the normalisation normalize/activation chains run in the
     activation dtype under the bf16 policy (statistics are always f32).

@@ -393,6 +393,10 @@ def batch_norm(
     Statistics accumulate in f32 regardless of activation dtype (bf16
     compute policy keeps norms stable).
     """
+    if _custom_vjp():
+        from floodgan_tpu.ops import fused_grads
+
+        return fused_grads.batch_norm(x, scale, bias)
     dt = x.dtype
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=(0, 1, 2), keepdims=True)
@@ -409,6 +413,12 @@ def _norm_arith_bf16() -> bool:
     from floodgan_tpu.core.flags import norm_arith_bf16
 
     return norm_arith_bf16()
+
+
+def _custom_vjp() -> bool:
+    from floodgan_tpu.core.flags import custom_vjp_norms
+
+    return custom_vjp_norms()
 
 
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
@@ -443,11 +453,21 @@ def instance_norm_act(
         return pk.fused_instance_norm(
             x, residual=residual, relu=relu, negative_slope=negative_slope
         )
+    if _custom_vjp():
+        from floodgan_tpu.ops import fused_grads
+
+        if residual is None:
+            return fused_grads.in_act(x, relu, negative_slope)
+        return fused_grads.in_act_res(x, residual, relu, negative_slope)
     return pk._instance_norm_jnp(x, residual, relu, 1e-5, negative_slope)
 
 
 def reflect_pad2d(x: jax.Array, pad: int) -> jax.Array:
     """torch.nn.ReflectionPad2d / F.pad(mode='reflect') twin on H, W."""
+    if _custom_vjp():
+        from floodgan_tpu.ops import fused_grads
+
+        return fused_grads.reflect_pad2d(x, pad)
     return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
 
 
