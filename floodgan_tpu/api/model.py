@@ -140,6 +140,13 @@ class Model:
         # -- config, possibly reconstructed from a self-describing ckpt --
         saved_meta = saved_state = None
         if load_pretrained_model:
+            from floodgan_tpu.utils.migrate import maybe_migrate
+
+            # reference-format .pth.tar files load directly (auto-migrated
+            # once; reference models/model.py:52-57 is the parity surface)
+            pretrained_model_path = maybe_migrate(
+                pretrained_model_path, "gan", resize=resize, crop=crop
+            )
             saved_meta, saved_state = load_checkpoint(pretrained_model_path)
             self.model = saved_meta["model"]
             self.num_epochs = saved_meta["num_epochs"]

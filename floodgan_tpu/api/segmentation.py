@@ -73,6 +73,12 @@ class SegmentationModel:
         self.state = self.trainer.init(self.streams.init("segmentation"), sample)
 
         if self.pretrained_model_path:
+            from floodgan_tpu.utils.migrate import maybe_migrate
+
+            # reference torch .pth.tar checkpoints auto-migrate on load
+            self.pretrained_model_path = maybe_migrate(
+                self.pretrained_model_path, "seg"
+            )
             meta, raw = load_checkpoint(self.pretrained_model_path)
             self.current_epoch = meta["current_epoch"]
             self.num_epochs = meta["num_epochs"]

@@ -214,6 +214,42 @@ def migrate_seg(in_path: str, out_path: str) -> str:
     return out_path
 
 
+def is_torch_checkpoint(path: str) -> bool:
+    """True when ``path`` is a reference-format torch save rather than a
+    floodgan_tpu msgpack checkpoint.  torch>=1.6 saves are zip archives
+    (``PK\\x03\\x04``); legacy saves are raw pickles (protocol marker
+    ``\\x80``).  Our msgpack files start with a map marker, never either."""
+    with open(path, "rb") as f:
+        head = f.read(4)
+    return head.startswith(b"PK\x03\x04") or head[:1] == b"\x80"
+
+
+def maybe_migrate(
+    path: str,
+    kind: str = "gan",
+    resize: Optional[int] = 256,
+    crop: Optional[int] = None,
+) -> str:
+    """Auto-migrate a reference torch checkpoint on load (reference
+    evaluate.py feeds its own ``.pth.tar`` straight to Model —
+    models/model.py:52-57; this closes the same interop seam here).
+
+    Returns ``path`` unchanged for native checkpoints.  For torch files,
+    converts once to ``<path>.floodgan.ckpt`` next to the original (reused
+    on later loads while newer than the source) and returns that."""
+    import os
+
+    if not is_torch_checkpoint(path):
+        return path
+    out = path + ".floodgan.ckpt"
+    if os.path.isfile(out) and os.path.getmtime(out) >= os.path.getmtime(path):
+        return out
+    print(f"Reference (PyTorch) checkpoint detected - migrating to {out}")
+    if kind == "seg":
+        return migrate_seg(path, out)
+    return migrate_gan(path, out, resize=resize, crop=crop)
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("kind", choices=["gan", "seg"])

@@ -46,24 +46,19 @@ def _torch_paired_step(tg, td, opt_g, opt_d, x, y):
     return ld_s.item(), ld_r.item(), lg.item(), ll1.item()
 
 
-@pytest.mark.slow
-def test_migrate_gan_checkpoint_continues_training(ref, rng, tmp_path):
-    from floodgan_tpu.utils.migrate import migrate_gan
-    from floodgan_tpu.ckpt import load_checkpoint
-    from floodgan_tpu.train.paired import PairedTrainer
-    from flax import serialization
-
+def _make_ref_gan_checkpoint(ref, rng, tmp_path, steps=1):
+    """Build a reference-schema .pth.tar: real reference modules, torch
+    Adam, ``steps`` paired training steps taken.  Returns (path, tg, td,
+    opt_g, opt_d) so callers can continue the torch side."""
     torch.manual_seed(47)
     tg = ref.PairedAttentionGenerator(input_channels=9).train()
     td = ref.PairedAttentionDiscriminator(input_channels=9).train()
     opt_g = torch.optim.Adam(tg.parameters(), lr=2e-4, betas=(0.5, 0.999))
     opt_d = torch.optim.Adam(td.parameters(), lr=2e-4, betas=(0.5, 0.999))
-
-    # step 1 in torch (the "previous run" being migrated)
-    x1 = torch.from_numpy(rng.standard_normal((1, 9, 64, 64), dtype=np.float32) * 0.5)
-    y1 = torch.from_numpy(rng.standard_normal((1, 3, 64, 64), dtype=np.float32) * 0.5)
-    _torch_paired_step(tg, td, opt_g, opt_d, x1, y1)
-
+    for _ in range(steps):
+        x1 = torch.from_numpy(rng.standard_normal((1, 9, 64, 64), dtype=np.float32) * 0.5)
+        y1 = torch.from_numpy(rng.standard_normal((1, 3, 64, 64), dtype=np.float32) * 0.5)
+        _torch_paired_step(tg, td, opt_g, opt_d, x1, y1)
     saved = {
         "model": "pairedattention",
         "starting_epoch": 2,
@@ -83,6 +78,17 @@ def test_migrate_gan_checkpoint_continues_training(ref, rng, tmp_path):
     }
     torch_path = str(tmp_path / "ref.pth.tar")
     torch.save(saved, torch_path)
+    return torch_path, tg, td, opt_g, opt_d
+
+
+@pytest.mark.slow
+def test_migrate_gan_checkpoint_continues_training(ref, rng, tmp_path):
+    from floodgan_tpu.utils.migrate import migrate_gan
+    from floodgan_tpu.ckpt import load_checkpoint
+    from floodgan_tpu.train.paired import PairedTrainer
+    from flax import serialization
+
+    torch_path, tg, td, opt_g, opt_d = _make_ref_gan_checkpoint(ref, rng, tmp_path)
 
     out_path = str(tmp_path / "migrated.ckpt")
     migrate_gan(torch_path, out_path, resize=64, crop=None)
@@ -151,3 +157,57 @@ def test_migrate_seg_checkpoint(ref, rng, tmp_path):
     np.testing.assert_allclose(
         np.asarray(got).transpose(0, 3, 1, 2), want, atol=3e-4
     )
+
+
+@pytest.mark.slow
+def test_auto_migrate_reference_checkpoint_on_model_load(ref, rng, tmp_path):
+    """evaluate-style interop: a reference-format .pth.tar passed straight
+    to Model(load_pretrained_model=True) must auto-detect, migrate once,
+    and serve inference (reference models/model.py:52-57 loads its own
+    torch pickle directly; round-2 verdict item 2)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fixtures import make_flood_fixture
+
+    import jax.numpy as jnp
+
+    from floodgan_tpu.api.model import Model
+
+    torch_path, *_ = _make_ref_gan_checkpoint(ref, rng, tmp_path)
+    data_path, meta_dir = make_flood_fixture(tmp_path / "d", size=32)
+
+    m = Model(
+        data_path=data_path,
+        load_pretrained_model=True,
+        pretrained_model_path=torch_path,
+        training_model=False,
+        resize=None,
+        dataset_subset="usa",
+        dataset_dem="same",
+        metadata_dir=meta_dir,
+    )
+    # config reconstructed from the torch file (self-describing contract)
+    assert m.model == "pairedattention"
+    assert m.topography == "all"
+    migrated = torch_path + ".floodgan.ckpt"
+    assert os.path.isfile(migrated)
+
+    out, mask = m.generate(jnp.zeros((1, 64, 64, 9), jnp.float32))
+    assert out.shape == (1, 64, 64, 3)
+    assert mask.shape[-2:] == (64, 64)
+
+    # second load reuses the migrated artifact (no second conversion)
+    mtime = os.path.getmtime(migrated)
+    Model(
+        data_path=data_path,
+        load_pretrained_model=True,
+        pretrained_model_path=torch_path,
+        training_model=False,
+        resize=None,
+        dataset_subset="usa",
+        dataset_dem="same",
+        metadata_dir=meta_dir,
+    )
+    assert os.path.getmtime(migrated) == mtime
