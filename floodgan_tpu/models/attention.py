@@ -42,6 +42,16 @@ class AttentionGenerator(nn.Module):
     # phase-native train step (full-resolution 3-channel tensors pad 42.7x
     # on TPU; see ops.conv2d_s2_phase_input).  Parameters are identical.
     phase_output: bool = False
+    # phase_input=True consumes x in the same phase-major form
+    # (n, H/2, W/2, 4*input_channels): reflect-pad runs in phase
+    # coordinates (ops.reflect_pad_phases), the k7 stem runs
+    # phase-to-phase (ops.conv2d_phase_to_phase), and the first s2 conv
+    # consumes phases directly (ops.conv2d_s2_phase_input) — NO
+    # full-resolution tensor ever exists in the generator, which is what
+    # unlocks 2048^2 single-chip training (the 42.7x-padded 3-channel and
+    # 1GB 64-channel full-res tensors were the binding OOM terms,
+    # BENCH_NOTES high-resolution study).  Parameters are identical.
+    phase_input: bool = False
 
     @nn.compact
     def __call__(self, x) -> Tuple[jax.Array, jax.Array]:
@@ -54,11 +64,31 @@ class AttentionGenerator(nn.Module):
         from jax.ad_checkpoint import checkpoint_name
 
         # --- shared encoder ---
-        h = ops.reflect_pad2d(x, 3)
-        h = TorchConv(64, 7, 1, 0, name="conv1")(h)
-        h = ops.instance_norm_act(h, relu=True)
-        h = TorchConv(128, 3, 2, 1, name="conv2")(h)
-        h = ops.instance_norm_act(h, relu=True)
+        if self.phase_input:
+            from floodgan_tpu.ops.nn_ops import (
+                instance_norm_act_phases,
+                reflect_pad_phases,
+            )
+
+            xp = x  # (n, H/2, W/2, 4*C) phase-major
+            n, S, T, _ = xp.shape
+            cin = self.input_channels
+            # ReflectionPad2d(3) directly in phase coordinates (pad 4 halo,
+            # even = phase-aligned), then the k7 conv phase-to-phase.  The
+            # conv's padding=3 tap window over the 4-padded grid yields the
+            # 3-padded result on phase rows [2, 2+S) — slice, don't pad.
+            hp = reflect_pad_phases(xp, 3, cin)
+            hp = TorchConv(64, 7, 1, 0, name="conv1")(hp, phase_p2p=(3, cin))
+            hp = hp[:, 2 : 2 + S, 2 : 2 + T]
+            hp = instance_norm_act_phases(hp, relu=True)
+            h = TorchConv(128, 3, 2, 1, name="conv2")(hp, phase_splits=(64,))
+            h = ops.instance_norm_act(h, relu=True)
+        else:
+            h = ops.reflect_pad2d(x, 3)
+            h = TorchConv(64, 7, 1, 0, name="conv1")(h)
+            h = ops.instance_norm_act(h, relu=True)
+            h = TorchConv(128, 3, 2, 1, name="conv2")(h)
+            h = ops.instance_norm_act(h, relu=True)
         h = TorchConv(256, 3, 2, 1, name="conv3")(h)
         h = ops.instance_norm_act(h, relu=True)
         h = checkpoint_name(h, "seg_boundary")
@@ -116,7 +146,11 @@ class AttentionGenerator(nn.Module):
             n, h2, w2, _ = content_p.shape
             content_p = jnp.tanh(content_p).reshape(n, h2, w2, 4, 9, 3)
             logits_p = attn_p.reshape(n, h2, w2, 4, 10)
-            rgb_p = space_to_depth_phases(x[..., :3]).reshape(n, h2, w2, 4, 3)
+            if self.phase_input:
+                # x is already phase-major on exactly this grid
+                rgb_p = x.reshape(n, h2, w2, 4, self.input_channels)[..., :3]
+            else:
+                rgb_p = space_to_depth_phases(x[..., :3]).reshape(n, h2, w2, 4, 3)
             attn = jax.nn.softmax(logits_p.astype(jnp.float32), axis=-1)
             attn = attn.astype(content_p.dtype)
             fg = jnp.einsum("nhwpkc,nhwpk->nhwpc", content_p, attn[..., :9])
@@ -136,8 +170,20 @@ class AttentionGenerator(nn.Module):
 
         content = jnp.tanh(content_r[1])
         attn_logits = attn_r[1]
+        if self.phase_input:
+            # small-resolution fallback (phase-fold tail ineligible):
+            # reconstruct the image view of the input for the compose
+            n, S, T, _ = x.shape
+            rgb = depth_to_space_phases(
+                x.reshape(n, S, T, 4, self.input_channels)[..., :3].reshape(
+                    n, S, T, 12
+                ),
+                2 * S, 2 * T, 3,
+            )
+        else:
+            rgb = x[..., :3]
         compose = pk.attention_compose if use_pallas("compose") else pk._attention_compose_jnp
-        output, background_mask = compose(content, attn_logits, x[..., :3])
+        output, background_mask = compose(content, attn_logits, rgb)
         if self.phase_output:
             # small-resolution fallback (phase-fold tail ineligible): keep
             # the phase-space contract by converting explicitly.

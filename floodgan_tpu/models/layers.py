@@ -36,22 +36,33 @@ class TorchConv(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x, phases: bool = False, phase_splits=None):
+    def __call__(self, x, phases: bool = False, phase_splits=None, phase_p2p=None):
         from floodgan_tpu.ops.nn_ops import (
             _conv2d_phasefold_phases,
             _phasefold_eligible,
+            conv2d_phase_to_phase,
             conv2d_s2_phase_input,
         )
+
+        if phase_p2p is not None:
+            # x is phase-major (n, H/2, W/2, 4*cin) and the output stays in
+            # phase space (ops.conv2d_phase_to_phase).  phase_p2p carries
+            # (image_padding, cin); parameters are the ordinary image-space
+            # kernel — checkpoints are identical across calling conventions.
+            pad, cin = phase_p2p
+            w = self.param("weight", conv_init, (self.kernel, self.kernel, cin, self.features))
+            b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+            return conv2d_phase_to_phase(x, w, padding=pad, b=b)
 
         if phase_splits is not None:
             # x is a phase-space concat (see ops.conv2d_s2_phase_input);
             # parameters are the ordinary image-space kernel, so the two
             # calling conventions share checkpoints bit for bit.  The
-            # lowering is derived for k4 s2 p1 only — reject anything else
+            # lowering is derived for s2 p1 (any k) — reject anything else
             # loudly rather than silently computing those semantics.
-            if self.stride != 2 or self.padding != 1 or self.kernel != 4:
+            if self.stride != 2 or self.padding != 1:
                 raise ValueError(
-                    "phase_splits requires a k4 s2 p1 conv (got "
+                    "phase_splits requires an s2 p1 conv (got "
                     f"k{self.kernel} s{self.stride} p{self.padding})"
                 )
             cin = sum(phase_splits)

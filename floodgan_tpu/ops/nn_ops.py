@@ -199,7 +199,9 @@ def conv2d_s2_phase_input(
     splits,
     b: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """k4 stride-2 pad-1 conv evaluated directly on a 2x2 phase decomposition.
+    """k x k stride-2 pad-1 conv evaluated directly on a 2x2 phase
+    decomposition (derived for any k; the model family uses k4 PatchGAN
+    stems and the k3 encoder stem).
 
     ``xp`` is (n, H/2, W/2, 4*C_total): a channel-concat of phase-major
     space-to-depth groups (``space_to_depth_phases`` layout, group sizes in
@@ -217,30 +219,176 @@ def conv2d_s2_phase_input(
     The embedded kernel is assembled from ``w`` with gathers, so gradients
     flow to ``w`` unchanged."""
     kh, kw, cin, cout = w.shape
-    if kh != 4 or kw != 4:
-        raise ValueError("phase-input lowering is derived for k=4 s=2 p=1")
+    if kh != kw:
+        raise ValueError("phase-input lowering needs a square kernel")
     if sum(splits) != cin:
         raise ValueError(f"splits {splits} must sum to cin={cin}")
-    taps = {0: ((0, 1), (1, 3)), 1: ((-1, 0), (0, 2))}  # r -> (d values, j values)
-    wp = jnp.zeros((3, 3, 4 * cin, cout), w.dtype)
+    # out[t] = sum_j w[j] X[2t + j - 1]; X index 2(t+d)+a gives j = 2d+a+1,
+    # so input phase a contributes taps j = 2d+a+1 at phase-grid offsets d
+    # with 0 <= j < k.  (k=4: a=0 -> j 1,3 at d 0,1; a=1 -> j 0,2 at
+    # d -1,0.  k=3, the encoder's s2 stem: a=0 -> j1 at d0; a=1 -> j 0,2
+    # at d -1,0.)
+    taps = {}
+    dmin, dmax = 0, 0
+    for a in (0, 1):
+        pairs = [((j - a - 1) // 2, j) for j in range(kh) if (j - a - 1) % 2 == 0]
+        taps[a] = pairs
+        dmin = min(dmin, min(d for d, _ in pairs))
+        dmax = max(dmax, max(d for d, _ in pairs))
+    ext = dmax - dmin + 1
+    wp = jnp.zeros((ext, ext, 4 * cin, cout), w.dtype)
     for r in (0, 1):
         for c in (0, 1):
             off_g = 0
             for g, cg in enumerate(splits):
                 # channel block of group g, phase (r, c) in the concat layout
                 lo = 4 * off_g + (r * 2 + c) * cg
-                for dh, jh in zip(*taps[r]):
-                    for dw, jw in zip(*taps[c]):
-                        wp = wp.at[dh + 1, dw + 1, lo : lo + cg, :].set(
+                for dh, jh in taps[r]:
+                    for dw, jw in taps[c]:
+                        wp = wp.at[dh - dmin, dw - dmin, lo : lo + cg, :].set(
                             w[jh, jw, off_g : off_g + cg, :]
                         )
                 off_g += cg
     out = lax.conv_general_dilated(
-        xp, wp, (1, 1), ((1, 1), (1, 1)), dimension_numbers=DIMSPEC
+        xp, wp, (1, 1), ((-dmin, dmax), (-dmin, dmax)), dimension_numbers=DIMSPEC
     )
     if b is not None:
         out = out + b
     return out
+
+
+def conv2d_phase_to_phase(
+    xp: jax.Array,
+    w: jax.Array,
+    padding: int,
+    b: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Stride-1 k x k conv evaluated ENTIRELY in 2x2 phase space: input
+    and output are both phase-major space-to-depth tensors
+    ((n, H/2, W/2, 4C) -> (n, H/2, W/2, 4*cout)).  The full-resolution
+    image never exists — the point for the phase-space encoder stem
+    (VERDICT r2 #8): at 2048^2 the reference stem's (N, H, W, 64) f32
+    tensors are ~1GB each and the (N, H, W, 9) input pads 14x; their phase
+    forms stay dense.
+
+    Derivation: y[2t+r, 2u+c, co] = sum_{j,k,ci} w[j,k,ci,co]
+    X[2t+r+j-p, 2u+c+k-p, ci].  Writing the input row index as 2(t+d)+a
+    gives a = (r+j-p) mod 2, d = floor((r+j-p)/2), i.e. j = 2d + a + p - r.
+    Embedding w's taps at phase-grid offset (d, d') for input-phase (a, b)
+    and output-phase (r, c) yields ONE dense stride-1 conv over the 4C
+    phase channels whose kernel extent covers d in [floor((r-p)/2),
+    floor((r+k-1-p)/2)] — zero-padded where a (r, d, a) triple has no
+    valid j.  ~2x the image-space MACs (the embedding is ~50% zeros) but
+    4x the input lanes and no full-resolution tensor; numerically the
+    same conv (golden-tested).  Gradients flow to ``w`` through the
+    embedding's gathers."""
+    kh, kw, cin, cout = w.shape
+    if kh != kw:
+        raise ValueError("square kernels only")
+    if xp.shape[-1] % 4:
+        raise ValueError(f"phase input channels {xp.shape[-1]} not divisible by 4")
+    if xp.shape[-1] // 4 != cin:
+        raise ValueError(f"phase input implies cin={xp.shape[-1] // 4}, kernel has {cin}")
+    p = padding
+    dmin = min((r - p) // 2 for r in (0, 1))
+    dmax = max((r + kh - 1 - p) // 2 for r in (0, 1))
+    ext = dmax - dmin + 1
+    wp = jnp.zeros((ext, ext, 4 * cin, 4 * cout), w.dtype)
+    for r in (0, 1):
+        for c in (0, 1):
+            for d in range(dmin, dmax + 1):
+                for dd in range(dmin, dmax + 1):
+                    for a in (0, 1):
+                        for bb in (0, 1):
+                            j = 2 * d + a + p - r
+                            k = 2 * dd + bb + p - c
+                            if not (0 <= j < kh and 0 <= k < kw):
+                                continue
+                            wp = wp.at[
+                                d - dmin,
+                                dd - dmin,
+                                (a * 2 + bb) * cin : (a * 2 + bb + 1) * cin,
+                                (r * 2 + c) * cout : (r * 2 + c + 1) * cout,
+                            ].set(w[j, k])
+    out = lax.conv_general_dilated(
+        xp,
+        wp,
+        (1, 1),
+        ((-dmin, dmax), (-dmin, dmax)),
+        dimension_numbers=DIMSPEC,
+    )
+    if b is not None:
+        out = out + jnp.tile(b, 4)
+    return out
+
+
+def reflect_pad_phases(xp: jax.Array, pad: int, cin: int) -> jax.Array:
+    """Image-level ReflectionPad2d(pad), pad ODD, computed directly on the
+    2x2 phase-major decomposition — the padded image never materializes.
+
+    An odd image pad flips phase parity, so the halo is materialized as
+    ``pad+1`` (even) image rows = q = (pad+1)//2 phase rows per side; the
+    consumer slices the one surplus image row off via its tap offsets (see
+    AttentionGenerator's phase stem).  Source rows follow from the mirror
+    maps: a padded phase row (s=-k, row-phase a) holds image rows
+    2k-a = phase row (k - a, a); a bottom row (s=S-1+k) holds phase row
+    (S - k - a, a) — per-phase-group slices, no transposes of the bulk."""
+    if pad % 2 == 0:
+        raise ValueError("reflect_pad_phases is derived for odd image pads")
+    q = (pad + 1) // 2
+    n, S, T, c4 = xp.shape
+    if c4 != 4 * cin:
+        raise ValueError(f"expected {4 * cin} phase channels, got {c4}")
+    x5 = xp.reshape(n, S, T, 2, 2, cin)  # (.., row-phase a, col-phase b, c)
+
+    def prow(s0, s1):  # one padded phase row: a=0 from s0, a=1 from s1
+        return jnp.stack([x5[:, s0, :, 0], x5[:, s1, :, 1]], axis=2)
+
+    top = jnp.stack([prow(k, k - 1) for k in range(q, 0, -1)], axis=1)
+    bot = jnp.stack([prow(S - k, S - k - 1) for k in range(1, q + 1)], axis=1)
+    x5 = jnp.concatenate([top, x5, bot], axis=1)
+
+    def pcol(t0, t1):  # one padded phase col: b=0 from t0, b=1 from t1
+        return jnp.stack([x5[:, :, t0, :, 0], x5[:, :, t1, :, 1]], axis=3)
+
+    left = jnp.stack([pcol(k, k - 1) for k in range(q, 0, -1)], axis=2)
+    right = jnp.stack([pcol(T - k, T - k - 1) for k in range(1, q + 1)], axis=2)
+    x5 = jnp.concatenate([left, x5, right], axis=2)
+    return x5.reshape(n, S + 2 * q, T + 2 * q, 4 * cin)
+
+
+def instance_norm_act_phases(
+    xp: jax.Array,
+    relu: bool = False,
+    negative_slope: float = 0.0,
+) -> jax.Array:
+    """InstanceNorm(+activation) of an IMAGE represented in 2x2 phase-major
+    space-to-depth form (n, H/2, W/2, 4C): statistics per (n, c) pool over
+    (H/2, W/2) AND the 4 phase copies of each channel (equal-sized groups,
+    so the mean of per-phase means is the image mean — exact).  The
+    normalize/activation chain runs on the phase layout directly; the
+    full-resolution tensor never materializes."""
+    n, h2, w2, c4 = xp.shape
+    cin = c4 // 4
+    dt = xp.dtype
+    x32 = xp.astype(jnp.float32)
+    # per-(n, phase*channel) one-pass stats, then average the 4 phase groups
+    mean_p = jnp.mean(x32, axis=(1, 2))                  # (n, 4C)
+    meansq_p = jnp.mean(x32 * x32, axis=(1, 2))          # (n, 4C)
+    mean = jnp.mean(mean_p.reshape(n, 4, cin), axis=1)   # (n, C)
+    meansq = jnp.mean(meansq_p.reshape(n, 4, cin), axis=1)
+    inv = lax.rsqrt(meansq - mean * mean + 1e-5)
+    mean4 = jnp.tile(mean, (1, 4))[:, None, None, :]
+    inv4 = jnp.tile(inv, (1, 4))[:, None, None, :]
+    if dt == jnp.bfloat16 and _norm_arith_bf16():
+        y = (xp - mean4.astype(dt)) * inv4.astype(dt)
+        if relu:
+            y = jnp.where(y >= 0, y, y * jnp.asarray(negative_slope, dt))
+        return y
+    y = (x32 - mean4) * inv4
+    if relu:
+        y = jnp.where(y >= 0.0, y, y * negative_slope)
+    return y.astype(dt)
 
 
 def space_to_depth_phases(x: jax.Array) -> jax.Array:
