@@ -43,15 +43,19 @@ def build_generator(
     input_channels: int,
     dropout_rate: float = 0.5,
     phase_output: bool = False,
+    phase_input: bool = False,
 ) -> nn.Module:
     model = _check_model(model)
     cls = _GENERATORS[model]
     if cls is Pix2PixGenerator:
         return cls(input_channels=input_channels, dropout_rate=dropout_rate)
-    if phase_output:
+    if phase_output or phase_input:
         if cls is not AttentionGenerator:
-            raise ValueError(f"phase_output generator only exists for the attention family, not {model}")
-        return cls(input_channels=input_channels, trunk_unroll=9, phase_output=True)
+            raise ValueError(f"phase generators only exist for the attention family, not {model}")
+        return cls(
+            input_channels=input_channels, trunk_unroll=9,
+            phase_output=phase_output, phase_input=phase_input,
+        )
     # Trunk unroll policy: fully unrolled everywhere.  The rolled
     # (lax.scan) trunk bounds compile time but breaks cross-block fusion —
     # measured on v5e at 512^2 batch 4, the cycle step runs 8.0 samples/s

@@ -81,9 +81,20 @@ class PairedTrainer:
             # downstream consumer).  FLOODGAN_PHASE_STEP=0 reverts.
             phase_step = os.environ.get("FLOODGAN_PHASE_STEP", "1") != "0"
         self.phase_step = bool(phase_step)
+        # Phase-space ENCODER too (FLOODGAN_PHASE_STEM=1): the generator
+        # consumes the phase-major input directly (models/attention.py
+        # phase_input) so no full-resolution tensor exists anywhere in the
+        # step — the 2048^2 single-chip enabler; opt-in pending on-chip
+        # speed measurement at the bench resolutions.
+        self.phase_stem = (
+            self.phase_step
+            and self.returns_mask
+            and os.environ.get("FLOODGAN_PHASE_STEM") == "1"
+        )
         if self.phase_step and self.returns_mask:
             self.generator_phase = build_generator(
-                model, input_channels, dropout_rate, phase_output=True
+                model, input_channels, dropout_rate,
+                phase_output=True, phase_input=self.phase_stem,
             )
         self.tx = adam_tx(b1=cfg.adam_b1, b2=cfg.adam_b2)
         self.input_channels = input_channels
@@ -182,8 +193,11 @@ class PairedTrainer:
             x_rep = space_to_depth_phases(input_stack)
             y_rep = space_to_depth_phases(output_image)
             if self.returns_mask:
-                # attention family: the tail already lives in phase space.
-                gen_fwd = lambda gp: self._gen_apply_phase(gp, input_stack, rng)
+                # attention family: the tail already lives in phase space;
+                # with the phase stem the ENCODER consumes x_rep too and
+                # the step never sees a full-resolution tensor.
+                gen_in = x_rep if self.phase_stem else input_stack
+                gen_fwd = lambda gp: self._gen_apply_phase(gp, gen_in, rng)
             else:
                 # pix2pix: the U-Net head emits full-res; one explicit s2d
                 # keeps everything downstream off the padded layouts.

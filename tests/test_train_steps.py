@@ -392,3 +392,30 @@ def test_pix2pix_phase_step_matches_image_step(rng):
                 float(ma[k]), float(mb[k]), rtol=2e-3, atol=1e-4,
                 err_msg=f"step{step} {k}",
             )
+
+
+def test_phase_stem_step_matches_image_step(rng, monkeypatch):
+    """FLOODGAN_PHASE_STEM=1 (phase-space ENCODER: the step never holds a
+    full-resolution tensor) must reproduce the image-space step's loss
+    trajectory at a phase-eligible size."""
+    from floodgan_tpu.train.paired import PairedTrainer
+
+    size = 128
+    x = jnp.asarray(rng.standard_normal((2, size, size, 9), dtype=np.float32) * 0.3)
+    y = jnp.asarray(rng.standard_normal((2, size, size, 3), dtype=np.float32) * 0.3)
+    a = PairedTrainer("pairedattention", 9, phase_step=False)
+    monkeypatch.setenv("FLOODGAN_PHASE_STEM", "1")
+    b = PairedTrainer("pairedattention", 9, phase_step=True)
+    assert b.phase_stem
+    sa = a.init(jax.random.key(0), x, y)
+    sb = b.init(jax.random.key(0), x, y)
+    key = jax.random.key(7)
+    lr = jnp.float32(2e-4)
+    for step in range(2):
+        sa, ma = a.train_step(sa, x, y, lr, key)
+        sb, mb = b.train_step(sb, x, y, lr, key)
+        for k in ma:
+            np.testing.assert_allclose(
+                float(ma[k]), float(mb[k]), rtol=2e-3, atol=1e-4,
+                err_msg=f"step{step} {k}",
+            )
