@@ -55,6 +55,14 @@ def use_pallas(which: str = "") -> bool:
     return (which or "in") in names or not which
 
 
+def phase_head() -> bool:
+    """Whether the attention decoder heads run in phase space end to end
+    (ConvTranspose2 emits phases, IN/relu and the k7/k1 head convs consume
+    them — no full-resolution tensor in either head).  Opt-in pending
+    on-chip measurement; FLOODGAN_PHASE_HEAD=1 enables."""
+    return os.environ.get("FLOODGAN_PHASE_HEAD") == "1"
+
+
 def custom_vjp_norms() -> bool:
     """Whether the norm/pad chains use the hand-derived closed-form VJPs
     (ops/fused_grads.py) instead of autodiff through the statistics

@@ -95,25 +95,74 @@ class AttentionGenerator(nn.Module):
         h = ResnetTrunk(256, 9, unroll=self.trunk_unroll, name="trunk")(h)
         h = checkpoint_name(h, "seg_boundary")
 
-        # --- content head: 9 RGB content images ---
-        c = TorchConvTranspose(128, 3, 2, 1, output_padding=1, name="deconv1_content")(h)
-        c = ops.instance_norm_act(c, relu=True)
-        c = checkpoint_name(c, "seg_boundary")
-        c = TorchConvTranspose(64, 3, 2, 1, output_padding=1, name="deconv2_content")(c)
-        c = ops.instance_norm_act(c, relu=True)
-        c = checkpoint_name(c, "seg_boundary")
-        c = ops.reflect_pad2d(c, 3)
-        content_r = TorchConv(27, 7, 1, 0, name="deconv3_content")(c, phases=True)
+        # --- decoder heads.  Two lowerings of the same parameters:
+        # image-space (golden path), or — FLOODGAN_PHASE_HEAD=1, at
+        # phase-eligible sizes — fully phase-space: ConvTranspose2 emits
+        # phases directly (subpixel decomposition minus the interleave),
+        # IN/relu pools phase groups, and the k7/k1 head convs run
+        # phase-to-phase.  The round-3 per-op profile attributed ~13 ms of
+        # the 150 ms step to the content k7 chain's full-resolution
+        # operands (fwd 3.4 + d-input 5.8 at padded 518^2 + wgrad 4.0).
+        from floodgan_tpu.core.flags import phase_head
+        from floodgan_tpu.ops.nn_ops import (
+            instance_norm_act_phases,
+            reflect_pad_phases,
+        )
 
-        # --- attention head: 10 mask logits (softmax inside the fused
-        # composition, reference model_architectures.py:227-228) ---
-        a = TorchConvTranspose(128, 3, 2, 1, output_padding=1, name="deconv1_attention")(h)
-        a = ops.instance_norm_act(a, relu=True)
-        a = checkpoint_name(a, "seg_boundary")
-        a = TorchConvTranspose(64, 3, 2, 1, output_padding=1, name="deconv2_attention")(a)
-        a = ops.instance_norm_act(a, relu=True)
-        a = checkpoint_name(a, "seg_boundary")
-        attn_r = TorchConv(10, 1, 1, 0, name="deconv3_attention")(a, phases=True)
+        head_h = h.shape[1] * 4  # decoder output H (trunk is at H/4)
+        use_phase_head = (
+            phase_head()
+            and h.shape[1] == h.shape[2]  # square (model configs are)
+            and head_h % 2 == 0
+            and head_h // 2 >= 128  # same profit floor as _phasefold_eligible
+        )
+
+        if use_phase_head:
+            S2 = head_h // 2
+            # --- content head, phase space ---
+            c = TorchConvTranspose(128, 3, 2, 1, output_padding=1, name="deconv1_content")(h)
+            c = ops.instance_norm_act(c, relu=True)
+            c = checkpoint_name(c, "seg_boundary")
+            cp = TorchConvTranspose(64, 3, 2, 1, output_padding=1, name="deconv2_content")(
+                c, phase_out=True
+            )
+            cp = instance_norm_act_phases(cp, relu=True)
+            cp = checkpoint_name(cp, "seg_boundary")
+            cp = reflect_pad_phases(cp, 3, 64)
+            cp = TorchConv(27, 7, 1, 0, name="deconv3_content")(cp, phase_p2p=(3, 64))
+            content_r = ("phases", cp[:, 2 : 2 + S2, 2 : 2 + S2], head_h, head_h)
+
+            # --- attention head, phase space ---
+            a = TorchConvTranspose(128, 3, 2, 1, output_padding=1, name="deconv1_attention")(h)
+            a = ops.instance_norm_act(a, relu=True)
+            a = checkpoint_name(a, "seg_boundary")
+            ap = TorchConvTranspose(64, 3, 2, 1, output_padding=1, name="deconv2_attention")(
+                a, phase_out=True
+            )
+            ap = instance_norm_act_phases(ap, relu=True)
+            ap = checkpoint_name(ap, "seg_boundary")
+            ap = TorchConv(10, 1, 1, 0, name="deconv3_attention")(ap, phase_p2p=(0, 64))
+            attn_r = ("phases", ap, head_h, head_h)
+        else:
+            # --- content head: 9 RGB content images ---
+            c = TorchConvTranspose(128, 3, 2, 1, output_padding=1, name="deconv1_content")(h)
+            c = ops.instance_norm_act(c, relu=True)
+            c = checkpoint_name(c, "seg_boundary")
+            c = TorchConvTranspose(64, 3, 2, 1, output_padding=1, name="deconv2_content")(c)
+            c = ops.instance_norm_act(c, relu=True)
+            c = checkpoint_name(c, "seg_boundary")
+            c = ops.reflect_pad2d(c, 3)
+            content_r = TorchConv(27, 7, 1, 0, name="deconv3_content")(c, phases=True)
+
+            # --- attention head: 10 mask logits (softmax inside the fused
+            # composition, reference model_architectures.py:227-228) ---
+            a = TorchConvTranspose(128, 3, 2, 1, output_padding=1, name="deconv1_attention")(h)
+            a = ops.instance_norm_act(a, relu=True)
+            a = checkpoint_name(a, "seg_boundary")
+            a = TorchConvTranspose(64, 3, 2, 1, output_padding=1, name="deconv2_attention")(a)
+            a = ops.instance_norm_act(a, relu=True)
+            a = checkpoint_name(a, "seg_boundary")
+            attn_r = TorchConv(10, 1, 1, 0, name="deconv3_attention")(a, phases=True)
 
         # --- compose: softmax + 9 content*mask products + background blend.
         # At large resolutions both head convs come back in PHASE SPACE

@@ -94,11 +94,21 @@ class TorchConvTranspose(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, phase_out: bool = False):
         w = self.param(
             "weight", conv_init, (self.kernel, self.kernel, x.shape[-1], self.features)
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        if phase_out:
+            # output in 2x2 phase-major space-to-depth form (the subpixel
+            # decomposition without the interleave) — same parameters.
+            from floodgan_tpu.ops.nn_ops import conv_transpose2d_phase_out
+
+            if self.stride != 2:
+                raise ValueError("phase_out is derived for stride 2")
+            return conv_transpose2d_phase_out(
+                x, w, b, padding=self.padding, output_padding=self.output_padding
+            )
         return ops.conv_transpose2d(
             x, w, b, stride=self.stride, padding=self.padding,
             output_padding=self.output_padding,

@@ -408,6 +408,36 @@ def depth_to_space_phases(p: jax.Array, out_h: int, out_w: int, cout: int) -> ja
     return out[:, :out_h, :out_w]
 
 
+def conv_transpose2d_phase_out(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    padding: int = 1,
+    output_padding: int = 0,
+) -> jax.Array:
+    """Stride-2 ConvTranspose2d emitting its output directly in 2x2
+    phase-major space-to-depth form (n, out_h/2, out_w/2, 4*cout) — the
+    subpixel decomposition IS the phase decomposition, so this is
+    ``_conv_transpose_subpixel2`` minus the interleave: four dense
+    stride-1 convs, no dilated conv, no full-resolution tensor.  Feeds
+    ``instance_norm_act_phases`` / ``conv2d_phase_to_phase`` consumers
+    (the phase decoder head).  Requires even output dims."""
+    kh, kw, cin, cout = w.shape
+    n, h, wdt, _ = x.shape
+    pad_lo = kh - 1 - padding
+    out_h = (2 * h - 1) + 2 * pad_lo + output_padding - kh + 1
+    out_w = (2 * wdt - 1) + 2 * pad_lo + output_padding - kw + 1
+    if out_h % 2 or out_w % 2:
+        raise ValueError(f"phase output needs even dims, got {out_h}x{out_w}")
+    phases = _conv_transpose_subpixel2_phases(x, w, padding, output_padding)
+    out = jnp.concatenate(
+        [phases[(r, c)] for r in (0, 1) for c in (0, 1)], axis=-1
+    )
+    if b is not None:
+        out = out + jnp.tile(b, 4)
+    return out
+
+
 def conv_transpose2d(
     x: jax.Array,
     w: jax.Array,
@@ -456,26 +486,19 @@ def conv_transpose2d(
     return out
 
 
-def _conv_transpose_subpixel2(
+def _conv_transpose_subpixel2_phases(
     x: jax.Array, w: jax.Array, padding: int, output_padding: int
-) -> jax.Array:
-    """Stride-2 ConvTranspose as 4 phase convs + interleave.
-
-    With the dilated formulation, output position m draws from flipped-W
-    taps at dilated-input offsets; splitting m by parity in each spatial
-    dim yields, per phase (r, c) ∈ {0,1}², an ordinary stride-1 conv whose
-    kernel is the (flipped) W sub-sampled at alternating taps.  The phase
-    results interleave back with a reshape (pixel shuffle).
-    """
+) -> dict:
+    """The four output phases of a stride-2 ConvTranspose, each as an
+    ordinary stride-1 conv (see ``_conv_transpose_subpixel2``): returns
+    {(r, c): (n, ph_h, ph_w, cout)}."""
     kh, kw, cin, cout = w.shape
     wf = jnp.flip(w, (0, 1))
     n, h, wdt, _ = x.shape
     pad_lo_h = kh - 1 - padding
     pad_hi_h = kh - 1 - padding + output_padding
-    # dilated input has 2n-1 samples; out = (2n-1) + pads - k + 1
     out_h = (2 * h - 1) + pad_lo_h + pad_hi_h - kh + 1
     out_w = (2 * wdt - 1) + pad_lo_h + pad_hi_h - kw + 1
-
     phases = {}
     for r in (0, 1):
         for c in (0, 1):
@@ -504,7 +527,28 @@ def _conv_transpose_subpixel2(
             phases[(r, c)] = lax.conv_general_dilated(
                 xs, sub, (1, 1), "VALID", dimension_numbers=DIMSPEC
             )
+    return phases
 
+
+def _conv_transpose_subpixel2(
+    x: jax.Array, w: jax.Array, padding: int, output_padding: int
+) -> jax.Array:
+    """Stride-2 ConvTranspose as 4 phase convs + interleave.
+
+    With the dilated formulation, output position m draws from flipped-W
+    taps at dilated-input offsets; splitting m by parity in each spatial
+    dim yields, per phase (r, c) ∈ {0,1}², an ordinary stride-1 conv whose
+    kernel is the (flipped) W sub-sampled at alternating taps.  The phase
+    results interleave back with a reshape (pixel shuffle).
+    """
+    kh, kw, cin, cout = w.shape
+    n, h, wdt, _ = x.shape
+    pad_lo_h = kh - 1 - padding
+    pad_hi_h = kh - 1 - padding + output_padding
+    # dilated input has 2n-1 samples; out = (2n-1) + pads - k + 1
+    out_h = (2 * h - 1) + pad_lo_h + pad_hi_h - kh + 1
+    out_w = (2 * wdt - 1) + pad_lo_h + pad_hi_h - kw + 1
+    phases = _conv_transpose_subpixel2_phases(x, w, padding, output_padding)
     # interleave: out[2t+r, 2u+c] = phases[(r,c)][t,u]
     eh = (out_h + 1) // 2
     ew = (out_w + 1) // 2

@@ -129,3 +129,38 @@ def test_attention_generator_phase_input_small_fallback(rng):
     np.testing.assert_allclose(
         np.asarray(mask_img), np.asarray(mask_ph), rtol=2e-4, atol=2e-5
     )
+
+
+def test_conv_transpose_phase_out_matches_interleaved(rng):
+    """conv_transpose2d_phase_out == s2d(conv_transpose2d) for the model's
+    k3 s2 p1 op1 deconvolutions."""
+    from floodgan_tpu.ops.nn_ops import conv_transpose2d_phase_out
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 6)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 6, 4)), jnp.float32) * 0.2
+    b = jnp.asarray(rng.standard_normal((4,)), jnp.float32)
+    want = space_to_depth_phases(
+        ops.conv_transpose2d(x, w, b, stride=2, padding=1, output_padding=1)
+    )
+    got = conv_transpose2d_phase_out(x, w, b, padding=1, output_padding=1)
+    np.testing.assert_allclose(np.asarray(want), np.asarray(got), rtol=1e-5, atol=1e-6)
+
+
+def test_attention_generator_phase_head_equivalence(rng, monkeypatch):
+    """FLOODGAN_PHASE_HEAD=1 (decoder heads fully in phase space) produces
+    the same outputs as the image path with the SAME parameters."""
+    from floodgan_tpu.models import AttentionGenerator
+
+    x = jnp.asarray(rng.standard_normal((1, 256, 256, 9)), jnp.float32) * 0.5
+    model = AttentionGenerator(input_channels=9)
+    params = model.init({"params": jax.random.key(0)}, x)
+    out_img, mask_img = model.apply(params, x)
+
+    monkeypatch.setenv("FLOODGAN_PHASE_HEAD", "1")
+    out_ph, mask_ph = model.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(out_img), np.asarray(out_ph), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(mask_img), np.asarray(mask_ph), rtol=2e-4, atol=2e-5
+    )
