@@ -482,6 +482,16 @@ class Model:
             "add_identity_loss": self.add_identity_loss,
         }
         model_path = self.create_path(save_type="model")
+        if jax.process_count() > 1:
+            # pod-slice topology: per-process sharded checkpoint directory
+            # (each process writes only the shards it owns replica 0 of —
+            # no full-state device_get on any process; ckpt/sharded.py)
+            from floodgan_tpu.ckpt import save_checkpoint_sharded
+
+            model_path += ".sharded"
+            _safe_print(f"Saving {self.prettify_model_name()} model to {model_path}")
+            save_checkpoint_sharded(model_path, meta, self.state)
+            return model_path
         _safe_print(f"Saving {self.prettify_model_name()} model to {model_path}")
         if self._async_ckpt is not None:
             self._async_ckpt.save(model_path, meta, self.state)
