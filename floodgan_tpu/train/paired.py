@@ -81,15 +81,18 @@ class PairedTrainer:
             # downstream consumer).  FLOODGAN_PHASE_STEP=0 reverts.
             phase_step = os.environ.get("FLOODGAN_PHASE_STEP", "1") != "0"
         self.phase_step = bool(phase_step)
-        # Phase-space ENCODER too (FLOODGAN_PHASE_STEM=1): the generator
-        # consumes the phase-major input directly (models/attention.py
-        # phase_input) so no full-resolution tensor exists anywhere in the
-        # step — the 2048^2 single-chip enabler; opt-in pending on-chip
-        # speed measurement at the bench resolutions.
+        # Phase-space ENCODER (default ON for the attention family): the
+        # generator consumes the phase-major input directly
+        # (models/attention.py phase_input) so no full-resolution tensor
+        # exists anywhere in the step.  Measured 51.3 -> 54.07 samples/s
+        # (46.8% MFU) at 512^2 b8 on v5e (BENCH_NOTES round 3);
+        # FLOODGAN_PHASE_STEM=0 reverts.  (The analogous phase DECODER
+        # HEAD measured -6% at 512^2 — embedded-zero FLOPs — and stays
+        # opt-in via FLOODGAN_PHASE_HEAD for memory-bound resolutions.)
         self.phase_stem = (
             self.phase_step
             and self.returns_mask
-            and os.environ.get("FLOODGAN_PHASE_STEM") == "1"
+            and os.environ.get("FLOODGAN_PHASE_STEM", "1") != "0"
         )
         if self.phase_step and self.returns_mask:
             self.generator_phase = build_generator(
