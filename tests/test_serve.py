@@ -168,6 +168,23 @@ def test_model_repository_and_http_server(tiny_engine, rng):
             assert False, "expected 404"
         except urllib.error.HTTPError as e:
             assert e.code == 404
+
+        # oversized bodies are rejected before reading (ADVICE r2: no
+        # unbounded read -> OOM).  Raw socket so we can claim a 64GB
+        # Content-Length without sending it; the server must answer 413
+        # without waiting for the body.
+        import socket as sk
+
+        conn = sk.create_connection(
+            ("127.0.0.1", server.server_address[1]), timeout=30
+        )
+        conn.sendall(
+            b"POST /v1/models/flood:predict HTTP/1.1\r\nHost: t\r\n"
+            b"Content-Length: 68719476736\r\n\r\n"
+        )
+        status = conn.recv(1024).decode(errors="replace").splitlines()[0]
+        conn.close()
+        assert " 413 " in status, status
     finally:
         server.shutdown()
         repo.close()
