@@ -58,9 +58,19 @@ def use_pallas(which: str = "") -> bool:
 def phase_head() -> bool:
     """Whether the attention decoder heads run in phase space end to end
     (ConvTranspose2 emits phases, IN/relu and the k7/k1 head convs consume
-    them — no full-resolution tensor in either head).  Opt-in pending
-    on-chip measurement; FLOODGAN_PHASE_HEAD=1 enables."""
-    return os.environ.get("FLOODGAN_PHASE_HEAD") == "1"
+    them — no full-resolution tensor in either head).
+
+    Default ON since round 3: the first phase-head build measured SLOWER
+    than the image-space head (50.79 vs 54.07 samples/s — BENCH_NOTES),
+    but the loss was entirely in two support ops, both fixed
+    (tools/microbench_phaseparts.py, real chip, 512^2-b8 head shapes):
+    reflect_pad_phases 18.8 -> 7.0 ms (4D channel-block construction +
+    hand adjoint vs autodiff through 6D stacked views), IN-phases
+    4.3 -> 2.3 ms (closed-form VJP), plus the one-conv phase_out
+    ConvTranspose (4.4 vs 5.6 ms dilated / 4-conv split).  The full
+    content-head chain now measures 23.7 ms phase vs 27.3 image-space.
+    FLOODGAN_PHASE_HEAD=0 reverts to the image-space decoder heads."""
+    return os.environ.get("FLOODGAN_PHASE_HEAD", "1") != "0"
 
 
 def custom_vjp_norms() -> bool:

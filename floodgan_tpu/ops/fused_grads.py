@@ -229,3 +229,169 @@ def _rp_bwd(pad, _, g):
 
 
 reflect_pad2d.defvjp(_rp_fwd, _rp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Phase-layout (2x2 space-to-depth) versions.
+#
+# The round-3 piece bench (tools/microbench_phaseparts.py, real chip,
+# 512^2-b8 content-head shapes) showed the phase decoder head losing to the
+# image-space head entirely on these two ops: reflect_pad_phases 18.8 ms vs
+# 9.6 image-space (autodiff through 6D stack/reshape views whose (2, 2, C)
+# trailing dims tile terribly), instance_norm_act_phases 4.3 vs 2.3 (no
+# closed-form VJP).  The convolutions themselves were a wash or a phase win.
+# These rewrites keep every tensor 4D (n, S, T, 4C) — phase structure is
+# addressed purely through contiguous channel-block slices — and pair each
+# op with the same minimal-traffic closed-form backward the image-space
+# versions have.
+# ---------------------------------------------------------------------------
+
+
+def _inp_fold(stat, c):
+    """(n, 4C) per-phase-channel statistic -> (n, 4C) phase-pooled (each
+    channel replaced by the mean of its 4 phase copies, tiled back)."""
+    n = stat.shape[0]
+    pooled = jnp.mean(stat.reshape(n, 4, c), axis=1)
+    return jnp.tile(pooled, (1, 4))
+
+
+def _inp_stats(x, c):
+    """f32 phase-pooled IN statistics of an image stored as phase-major
+    (n, S, T, 4C): mean/rsqrt per (n, c) over (S, T) AND the 4 phase
+    copies.  Exact: equal-sized groups, so the mean of per-phase means is
+    the image mean (one fused read of x for both reductions)."""
+    x32 = x.astype(jnp.float32)
+    mean_p = jnp.mean(x32, axis=(1, 2))
+    meansq_p = jnp.mean(x32 * x32, axis=(1, 2))
+    mean = _inp_fold(mean_p, c)[:, None, None, :]
+    meansq = _inp_fold(meansq_p, c)[:, None, None, :]
+    inv = lax.rsqrt(meansq - mean * mean + _EPS)
+    return mean, inv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def in_act_phases(x, c: int, relu: bool, slope: float):
+    """InstanceNorm(+activation) of an image in phase-major form, with the
+    closed-form backward (statistics pooled over spatial AND phase dims)."""
+    mean, inv = _inp_stats(x, c)
+    return _in_normalize(x, mean, inv, relu, slope)
+
+
+def _inp_fwd(x, c, relu, slope):
+    mean, inv = _inp_stats(x, c)
+    return _in_normalize(x, mean, inv, relu, slope), (x, mean, inv)
+
+
+def _inp_bwd(c, relu, slope, res, g):
+    x, mean, inv = res
+    dt = x.dtype
+    if _arith_bf16(dt):
+        yhat = (x - mean.astype(dt)) * inv.astype(dt)
+        if relu:
+            mask = jnp.where(yhat >= 0, jnp.asarray(1, dt), jnp.asarray(slope, dt))
+            g = g * mask
+        g32 = g.astype(jnp.float32)
+        m1 = _inp_fold(jnp.mean(g32, axis=(1, 2)), c)[:, None, None, :]
+        m2 = _inp_fold(
+            jnp.mean(g32 * yhat.astype(jnp.float32), axis=(1, 2)), c
+        )[:, None, None, :]
+        dx = (g - m1.astype(dt) - yhat * m2.astype(dt)) * inv.astype(dt)
+    else:
+        x32 = x.astype(jnp.float32)
+        yhat = (x32 - mean) * inv
+        g32 = g.astype(jnp.float32)
+        if relu:
+            g32 = g32 * jnp.where(yhat >= 0.0, 1.0, slope)
+        m1 = _inp_fold(jnp.mean(g32, axis=(1, 2)), c)[:, None, None, :]
+        m2 = _inp_fold(jnp.mean(g32 * yhat, axis=(1, 2)), c)[:, None, None, :]
+        dx = (inv * (g32 - m1 - yhat * m2)).astype(dt)
+    return (dx,)
+
+
+in_act_phases.defvjp(_inp_fwd, _inp_bwd)
+
+
+def _rpp_build(x, q, C):
+    """Forward halo construction, all-4D.  Row-phase a selects the
+    contiguous channel half [0:2C] (a=0) / [2C:4C] (a=1); col-phase b
+    selects blocks {0, 2} (b=0) / {1, 3} (b=1).  A padded phase row is
+    therefore two channel-half row-slices concatenated; a padded phase col
+    is four channel-block col-slices concatenated."""
+    n, S, T, c4 = x.shape
+
+    def prow(s0, s1):
+        return jnp.concatenate(
+            [x[:, s0 : s0 + 1, :, : 2 * C], x[:, s1 : s1 + 1, :, 2 * C :]], axis=-1
+        )
+
+    top = jnp.concatenate([prow(k, k - 1) for k in range(q, 0, -1)], axis=1)
+    bot = jnp.concatenate([prow(S - k, S - k - 1) for k in range(1, q + 1)], axis=1)
+    x1 = jnp.concatenate([top, x, bot], axis=1)
+
+    def pcol(t0, t1):
+        return jnp.concatenate(
+            [
+                x1[:, :, t0 : t0 + 1, 0:C],
+                x1[:, :, t1 : t1 + 1, C : 2 * C],
+                x1[:, :, t0 : t0 + 1, 2 * C : 3 * C],
+                x1[:, :, t1 : t1 + 1, 3 * C :],
+            ],
+            axis=-1,
+        )
+
+    left = jnp.concatenate([pcol(k, k - 1) for k in range(q, 0, -1)], axis=2)
+    right = jnp.concatenate([pcol(T - k, T - k - 1) for k in range(1, q + 1)], axis=2)
+    return jnp.concatenate([left, x1, right], axis=2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def reflect_pad_phases(x, pad: int, cin: int):
+    """Image-level ReflectionPad2d(pad), pad ODD, on the 2x2 phase-major
+    decomposition (see nn_ops.reflect_pad_phases for the derivation of the
+    mirror maps).  4D construction + hand-written adjoint."""
+    if pad % 2 == 0:
+        raise ValueError("reflect_pad_phases is derived for odd image pads")
+    return _rpp_build(x, (pad + 1) // 2, cin)
+
+
+def _rpp_fwd(x, pad, cin):
+    return reflect_pad_phases(x, pad, cin), x.shape
+
+
+def _rpp_bwd(pad, cin, shape, g):
+    q = (pad + 1) // 2
+    C = cin
+    n, S, T, c4 = shape
+    # adjoint of the column construction: slice the center, add each halo
+    # col's channel blocks back to its source cols
+    gc = g[:, :, q : q + T]
+    for j in range(q):          # left halo cols, padded index j = pcol(k, k-1)
+        k = q - j
+        h = g[:, :, j : j + 1]
+        gc = gc.at[:, :, k : k + 1, 0:C].add(h[..., 0:C])
+        gc = gc.at[:, :, k - 1 : k, C : 2 * C].add(h[..., C : 2 * C])
+        gc = gc.at[:, :, k : k + 1, 2 * C : 3 * C].add(h[..., 2 * C : 3 * C])
+        gc = gc.at[:, :, k - 1 : k, 3 * C :].add(h[..., 3 * C :])
+    for j in range(q):          # right halo cols = pcol(T-k, T-k-1), k = j+1
+        k = j + 1
+        h = g[:, :, q + T + j : q + T + j + 1]
+        gc = gc.at[:, :, T - k : T - k + 1, 0:C].add(h[..., 0:C])
+        gc = gc.at[:, :, T - k - 1 : T - k, C : 2 * C].add(h[..., C : 2 * C])
+        gc = gc.at[:, :, T - k : T - k + 1, 2 * C : 3 * C].add(h[..., 2 * C : 3 * C])
+        gc = gc.at[:, :, T - k - 1 : T - k, 3 * C :].add(h[..., 3 * C :])
+    # adjoint of the row construction
+    gr = gc[:, q : q + S]
+    for j in range(q):          # top halo rows = prow(k, k-1), k = q - j
+        k = q - j
+        h = gc[:, j : j + 1]
+        gr = gr.at[:, k : k + 1, :, : 2 * C].add(h[..., : 2 * C])
+        gr = gr.at[:, k - 1 : k, :, 2 * C :].add(h[..., 2 * C :])
+    for j in range(q):          # bottom halo rows = prow(S-k, S-k-1), k = j+1
+        k = j + 1
+        h = gc[:, q + S + j : q + S + j + 1]
+        gr = gr.at[:, S - k : S - k + 1, :, : 2 * C].add(h[..., : 2 * C])
+        gr = gr.at[:, S - k - 1 : S - k, :, 2 * C :].add(h[..., 2 * C :])
+    return (gr,)
+
+
+reflect_pad_phases.defvjp(_rpp_fwd, _rpp_bwd)

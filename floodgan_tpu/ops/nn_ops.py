@@ -332,9 +332,22 @@ def reflect_pad_phases(xp: jax.Array, pad: int, cin: int) -> jax.Array:
     AttentionGenerator's phase stem).  Source rows follow from the mirror
     maps: a padded phase row (s=-k, row-phase a) holds image rows
     2k-a = phase row (k - a, a); a bottom row (s=S-1+k) holds phase row
-    (S - k - a, a) — per-phase-group slices, no transposes of the bulk."""
+    (S - k - a, a) — per-phase-group slices, no transposes of the bulk.
+
+    Routed through fused_grads.reflect_pad_phases (4D channel-block-slice
+    construction + hand-written adjoint) under the custom-VJP policy: the
+    6D-view construction below autodiffs into stack/reshape transposes
+    whose (2, 2, C) trailing dims tile terribly on TPU — measured 18.8 ms
+    vs 9.6 for the IMAGE-space pad at the 512^2-b8 head shapes
+    (tools/microbench_phaseparts.py)."""
     if pad % 2 == 0:
         raise ValueError("reflect_pad_phases is derived for odd image pads")
+    if _custom_vjp():
+        from floodgan_tpu.ops import fused_grads
+
+        if xp.shape[-1] != 4 * cin:
+            raise ValueError(f"expected {4 * cin} phase channels, got {xp.shape[-1]}")
+        return fused_grads.reflect_pad_phases(xp, pad, cin)
     q = (pad + 1) // 2
     n, S, T, c4 = xp.shape
     if c4 != 4 * cin:
@@ -370,6 +383,10 @@ def instance_norm_act_phases(
     full-resolution tensor never materializes."""
     n, h2, w2, c4 = xp.shape
     cin = c4 // 4
+    if _custom_vjp():
+        from floodgan_tpu.ops import fused_grads
+
+        return fused_grads.in_act_phases(xp, cin, relu, negative_slope)
     dt = xp.dtype
     x32 = xp.astype(jnp.float32)
     # per-(n, phase*channel) one-pass stats, then average the 4 phase groups
@@ -429,13 +446,75 @@ def conv_transpose2d_phase_out(
     out_w = (2 * wdt - 1) + 2 * pad_lo + output_padding - kw + 1
     if out_h % 2 or out_w % 2:
         raise ValueError(f"phase output needs even dims, got {out_h}x{out_w}")
-    phases = _conv_transpose_subpixel2_phases(x, w, padding, output_padding)
-    out = jnp.concatenate(
-        [phases[(r, c)] for r in (0, 1) for c in (0, 1)], axis=-1
-    )
+    import os
+
+    if os.environ.get("FLOODGAN_PHASE_OUT_SPLIT") == "1":
+        phases = _conv_transpose_subpixel2_phases(x, w, padding, output_padding)
+        out = jnp.concatenate(
+            [phases[(r, c)] for r in (0, 1) for c in (0, 1)], axis=-1
+        )
+    else:
+        out = _conv_transpose_phase_out_merged(x, w, padding, output_padding)
     if b is not None:
         out = out + jnp.tile(b, 4)
     return out
+
+
+def _conv_transpose_phase_out_merged(
+    x: jax.Array, w: jax.Array, padding: int, output_padding: int
+) -> jax.Array:
+    """All four output phases of a stride-2 ConvTranspose in ONE stride-1
+    conv with 4*cout output channels (phase-major).
+
+    The 4-conv subpixel split (``_conv_transpose_subpixel2_phases``) emits
+    cout=64-channel outputs in this model family — each conv fills only
+    half the 128 MXU lanes.  Folding the phases into the channel dim makes
+    one conv with 4*cout=256 outputs over the union tap window: output
+    phase r at phase-position t draws flipped-W tap j from input index
+    t + d with d = (r + j - pad_lo)/2, i.e. j = 2d - r + pad_lo.  The
+    union of the per-phase d-windows is [dmin, dmax]; slots with no valid
+    j for a phase are zero (9/16 dense for the model's k3 s2 p1 op1 —
+    still fewer executed lane-MACs than either the 4-conv split or the
+    lhs-dilated image-space lowering, measured in
+    tools/microbench_phasehead.py).  Gradients flow to ``w`` through the
+    kernel-assembly gathers."""
+    kh, kw, cin, cout = w.shape
+    if kh != kw:
+        raise ValueError("square kernels only")
+    n, h, wdt, _ = x.shape
+    pad_lo = kh - 1 - padding
+    wf = jnp.flip(w, (0, 1))
+    dspec = {}
+    dmin, dmax = 0, 0
+    for r in (0, 1):
+        ds = [
+            (r + j - pad_lo) // 2
+            for j in range(kh)
+            if (r + j - pad_lo) % 2 == 0
+        ]
+        dspec[r] = ds
+        dmin = min(dmin, min(ds))
+        dmax = max(dmax, max(ds))
+    ext = dmax - dmin + 1
+    K = jnp.zeros((ext, ext, cin, 4 * cout), w.dtype)
+    for r in (0, 1):
+        for c in (0, 1):
+            o = (r * 2 + c) * cout
+            for d in dspec[r]:
+                j = 2 * d - r + pad_lo
+                for dd in dspec[c]:
+                    k = 2 * dd - c + pad_lo
+                    K = K.at[d - dmin, dd - dmin, :, o : o + cout].set(wf[j, k])
+    out_h = (2 * h - 1) + 2 * pad_lo + output_padding - kh + 1
+    out_w = (2 * wdt - 1) + 2 * pad_lo + output_padding - kw + 1
+    out = lax.conv_general_dilated(
+        x,
+        K,
+        (1, 1),
+        ((-dmin, dmax), (-dmin, dmax)),
+        dimension_numbers=DIMSPEC,
+    )
+    return out[:, : out_h // 2, : out_w // 2]
 
 
 def conv_transpose2d(

@@ -212,3 +212,59 @@ def test_trunk_step_equivalence_with_and_without_custom_vjp(rng, monkeypatch):
     for a, b in zip(g0, g1):
         # f32 reassociation noise only (different reduction/fusion order)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("relu,slope", [(False, 0.0), (True, 0.0), (True, 0.2)])
+def test_in_act_phases_matches_legacy(rng, dtype, relu, slope, monkeypatch):
+    """Phase-layout IN custom VJP: forward identical to the legacy
+    nn_ops path, grads == autodiff of that path."""
+    from floodgan_tpu.ops import nn_ops
+
+    x = _rand(rng, (2, 12, 12, 4 * 5), dtype)
+    cot = _rand(rng, x.shape, dtype)
+
+    monkeypatch.setenv("FLOODGAN_CUSTOM_VJP", "0")
+    legacy = nn_ops.instance_norm_act_phases(x, relu, slope)
+    glegacy = jax.grad(
+        lambda x: jnp.sum(
+            nn_ops.instance_norm_act_phases(x, relu, slope).astype(jnp.float32)
+            * cot.astype(jnp.float32)
+        )
+    )(x)
+
+    new = fused_grads.in_act_phases(x, 5, relu, slope)
+    gnew = jax.grad(
+        lambda x: jnp.sum(
+            fused_grads.in_act_phases(x, 5, relu, slope).astype(jnp.float32)
+            * cot.astype(jnp.float32)
+        )
+    )(x)
+    np.testing.assert_array_equal(np.asarray(legacy), np.asarray(new))
+    tol = 1e-5 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(
+        np.asarray(glegacy, np.float32), np.asarray(gnew, np.float32),
+        rtol=tol, atol=tol,
+    )
+
+
+@pytest.mark.parametrize("pad", [1, 3])
+def test_reflect_pad_phases_matches_legacy(rng, pad, monkeypatch):
+    """4D-slice reflect_pad_phases + hand adjoint vs the 6D-view legacy
+    construction: forward and gradient both exact (pure data movement)."""
+    from floodgan_tpu.ops import nn_ops
+
+    C = 3
+    x = _rand(rng, (2, 10, 10, 4 * C), jnp.float32)
+    cot = _rand(rng, (2, 10 + pad + 1, 10 + pad + 1, 4 * C), jnp.float32)
+
+    monkeypatch.setenv("FLOODGAN_CUSTOM_VJP", "0")
+    legacy = nn_ops.reflect_pad_phases(x, pad, C)
+    glegacy = jax.grad(
+        lambda x: jnp.sum(nn_ops.reflect_pad_phases(x, pad, C) * cot)
+    )(x)
+
+    new = fused_grads.reflect_pad_phases(x, pad, C)
+    gnew = jax.grad(lambda x: jnp.sum(fused_grads.reflect_pad_phases(x, pad, C) * cot))(x)
+    np.testing.assert_array_equal(np.asarray(legacy), np.asarray(new))
+    np.testing.assert_array_equal(np.asarray(glegacy), np.asarray(gnew))
