@@ -78,8 +78,10 @@ class AttentionGenerator(nn.Module):
             # conv's padding=3 tap window over the 4-padded grid yields the
             # 3-padded result on phase rows [2, 2+S) — slice, don't pad.
             hp = reflect_pad_phases(xp, 3, cin)
-            hp = TorchConv(64, 7, 1, 0, name="conv1")(hp, phase_p2p=(3, cin))
-            hp = hp[:, 2 : 2 + S, 2 : 2 + T]
+            # crop=2 folds the halo crop into the conv's padding (the
+            # sliced form materialized the padded grid + its backward
+            # zero-pad; see conv2d_phase_to_phase)
+            hp = TorchConv(64, 7, 1, 0, name="conv1")(hp, phase_p2p=(3, cin, 2))
             hp = instance_norm_act_phases(hp, relu=True)
             h = TorchConv(128, 3, 2, 1, name="conv2")(hp, phase_splits=(64,))
             h = ops.instance_norm_act(h, relu=True)
@@ -129,8 +131,8 @@ class AttentionGenerator(nn.Module):
             cp = instance_norm_act_phases(cp, relu=True)
             cp = checkpoint_name(cp, "seg_boundary")
             cp = reflect_pad_phases(cp, 3, 64)
-            cp = TorchConv(27, 7, 1, 0, name="deconv3_content")(cp, phase_p2p=(3, 64))
-            content_r = ("phases", cp[:, 2 : 2 + S2, 2 : 2 + S2], head_h, head_h)
+            cp = TorchConv(27, 7, 1, 0, name="deconv3_content")(cp, phase_p2p=(3, 64, 2))
+            content_r = ("phases", cp, head_h, head_h)
 
             # --- attention head, phase space ---
             a = TorchConvTranspose(128, 3, 2, 1, output_padding=1, name="deconv1_attention")(h)

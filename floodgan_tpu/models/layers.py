@@ -49,10 +49,11 @@ class TorchConv(nn.Module):
             # phase space (ops.conv2d_phase_to_phase).  phase_p2p carries
             # (image_padding, cin); parameters are the ordinary image-space
             # kernel — checkpoints are identical across calling conventions.
-            pad, cin = phase_p2p
+            pad, cin, *rest = phase_p2p
+            crop = rest[0] if rest else 0
             w = self.param("weight", conv_init, (self.kernel, self.kernel, cin, self.features))
             b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
-            return conv2d_phase_to_phase(x, w, padding=pad, b=b)
+            return conv2d_phase_to_phase(x, w, padding=pad, b=b, crop=crop)
 
         if phase_splits is not None:
             # x is a phase-space concat (see ops.conv2d_s2_phase_input);

@@ -42,11 +42,9 @@ class ResnetTrunk(nn.Module):
 
         def block(h, p):
             pw1, pb1, pw2, pb2 = p
-            y = ops.reflect_pad2d(h, 1)
-            y = ops.conv2d(y, pw1, pb1)
+            y = ops.reflect_conv2d(h, pw1, pb1, pad=1)
             y = ops.instance_norm_act(y, relu=True)
-            y = ops.reflect_pad2d(y, 1)
-            y = ops.conv2d(y, pw2, pb2)
+            y = ops.reflect_conv2d(y, pw2, pb2, pad=1)
             return ops.instance_norm_act(y, residual=h), None
 
         import os

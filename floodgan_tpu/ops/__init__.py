@@ -7,6 +7,7 @@ from floodgan_tpu.ops.nn_ops import (
     instance_norm_act,
     leaky_relu,
     max_pool2d,
+    reflect_conv2d,
     reflect_pad2d,
 )
 from floodgan_tpu.ops.resize import resize_bicubic_antialias
@@ -20,6 +21,7 @@ __all__ = [
     "instance_norm_act",
     "leaky_relu",
     "max_pool2d",
+    "reflect_conv2d",
     "reflect_pad2d",
     "resize_bicubic_antialias",
 ]

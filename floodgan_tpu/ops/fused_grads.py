@@ -395,3 +395,110 @@ def _rpp_bwd(pad, cin, shape, g):
 
 
 reflect_pad_phases.defvjp(_rpp_fwd, _rpp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Composite reflect-pad(p) + valid k x k conv (k = 2p+1, stride 1) — the
+# residual trunk's conv shape (p=1) — with a hand-written d-input.
+#
+# Autodiff computes d(padded input) as a FULL-padding transposed conv at
+# (H+2p)^2 and then runs the reflect adjoint's interior crop: the round-3
+# profile shows XLA folding the row crop into the conv but materializing
+# the (8, 128, 130, 256) intermediate and slicing the width afterwards —
+# 18 x 0.21 ms/step of pure layout traffic across the trunk's backward.
+# Here the interior is ONE conv at exactly (H, W) (padding p of the
+# cotangent: dxp[p:p+H, p:p+W] == conv(g, W2, pad p)), and the halo's
+# fold-back contributions are four p-row/col band convs over the
+# cotangent's edge strips plus 4p single-row/col adds — O(p * H) work.
+# The weight/bias grads reuse XLA's native wgrad lowering (profiled at
+# ~90% MFU) via a local jax.vjp over the conv alone.
+# ---------------------------------------------------------------------------
+
+_DIMSPEC = ("NHWC", "HWIO", "NHWC")
+
+
+def _reflect_pad(x, p):
+    return jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def reflect_conv2d(x, w, b, pad: int):
+    """conv2d(reflect_pad2d(x, pad), w, b, stride=1, padding=0) for odd
+    k = 2*pad + 1 kernels, with the minimal-traffic backward above."""
+    kh, kw, _, _ = w.shape
+    if kh != kw or kh != 2 * pad + 1:
+        raise ValueError(f"reflect_conv2d derived for k = 2*pad+1, got k={kh} pad={pad}")
+    out = lax.conv_general_dilated(
+        _reflect_pad(x, pad), w, (1, 1), "VALID", dimension_numbers=_DIMSPEC
+    )
+    return out + b if b is not None else out
+
+
+def _rc_fwd(x, w, b, pad):
+    return reflect_conv2d(x, w, b, pad), (x, w, b is not None)
+
+
+def _rc_bwd(pad, res, g):
+    x, w, has_b = res
+    p = pad
+    k = 2 * p + 1
+    n, H, W, cin = x.shape
+    # transposed kernel: flip spatially, swap in/out channels
+    w2 = jnp.transpose(jnp.flip(w, (0, 1)), (0, 1, 3, 2))
+
+    def corr(gg, pad_hw):
+        return lax.conv_general_dilated(
+            gg, w2, (1, 1), pad_hw, dimension_numbers=_DIMSPEC
+        )
+
+    # interior of the reflect adjoint: dxp[p:p+H, p:p+W] in one (H, W) conv
+    dx = corr(g, ((p, p), (p, p)))
+
+    # column bands: dxp[p:p+H, j] for j < p (and the right mirror) — only
+    # the cotangent's first/last p columns contribute
+    cl = corr(g[:, :, :p], ((p, p), (k - 1, k - 1)))[:, :, :p]
+    cr = corr(g[:, :, W - p :], ((p, p), (k - 1, k - 1)))[:, :, -p:]
+    for j in range(p):
+        dx = dx.at[:, :, p - j : p - j + 1].add(cl[:, :, j : j + 1])
+        dx = dx.at[:, :, W - 2 - j : W - 1 - j].add(cr[:, :, j : j + 1])
+
+    # row bands: A_w(dxp)[j, :] for j < p (and bottom) — full-width strips
+    # from the cotangent's first/last p rows, width-folded, then added
+    rt = corr(g[:, :p], ((k - 1, k - 1), (k - 1, k - 1)))[:, :p]
+    rb = corr(g[:, H - p :], ((k - 1, k - 1), (k - 1, k - 1)))[:, -p:]
+
+    def fold_w(band):
+        # band width is W + 2p; fold its halo cols into the interior
+        core = band[:, :, p : p + W]
+        for j in range(p):
+            core = core.at[:, :, p - j : p - j + 1].add(band[:, :, j : j + 1])
+            core = core.at[:, :, W - 2 - j : W - 1 - j].add(
+                band[:, :, W + p + j : W + p + j + 1]
+            )
+        return core
+
+    rt = fold_w(rt)
+    rb = fold_w(rb)
+    for j in range(p):
+        dx = dx.at[:, p - j : p - j + 1].add(rt[:, j : j + 1])
+        dx = dx.at[:, H - 2 - j : H - 1 - j].add(rb[:, j : j + 1])
+
+    # weight grad: XLA's native lowering via a local vjp over the conv
+    xp = _reflect_pad(x, p)
+    _, vjp_w = jax.vjp(
+        lambda w_: lax.conv_general_dilated(
+            xp, w_, (1, 1), "VALID", dimension_numbers=_DIMSPEC
+        ),
+        w,
+    )
+    (dw,) = vjp_w(g)
+    # f32 accumulation: a bf16 sum over N*H*W terms loses ~1e-1 relative
+    db = (
+        jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2)).astype(g.dtype)
+        if has_b
+        else None
+    )
+    return dx, dw, db
+
+
+reflect_conv2d.defvjp(_rc_fwd, _rc_bwd)

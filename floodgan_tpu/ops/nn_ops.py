@@ -262,6 +262,7 @@ def conv2d_phase_to_phase(
     w: jax.Array,
     padding: int,
     b: Optional[jax.Array] = None,
+    crop: int = 0,
 ) -> jax.Array:
     """Stride-1 k x k conv evaluated ENTIRELY in 2x2 phase space: input
     and output are both phase-major space-to-depth tensors
@@ -281,7 +282,16 @@ def conv2d_phase_to_phase(
     valid j.  ~2x the image-space MACs (the embedding is ~50% zeros) but
     4x the input lanes and no full-resolution tensor; numerically the
     same conv (golden-tested).  Gradients flow to ``w`` through the
-    embedding's gathers."""
+    embedding's gathers.
+
+    ``crop`` drops that many leading AND trailing phase rows/cols from
+    the output by shrinking the conv padding instead of slicing —
+    ``conv(...)[:, crop:-crop, crop:-crop]`` as one conv.  The round-3
+    profile showed the post-conv halo crops of the phase stem/heads
+    materializing the full padded-grid tensor and slicing it afterwards
+    (and, in the backward, zero-padding the cotangent back up through a
+    dynamic-update-slice): ~2.5 ms/step of pure layout traffic that a
+    padding adjustment removes."""
     kh, kw, cin, cout = w.shape
     if kh != kw:
         raise ValueError("square kernels only")
@@ -314,7 +324,7 @@ def conv2d_phase_to_phase(
         xp,
         wp,
         (1, 1),
-        ((-dmin, dmax), (-dmin, dmax)),
+        ((-dmin - crop, dmax - crop), (-dmin - crop, dmax - crop)),
         dimension_numbers=DIMSPEC,
     )
     if b is not None:
@@ -408,9 +418,50 @@ def instance_norm_act_phases(
     return y.astype(dt)
 
 
+def reflect_conv2d(x: jax.Array, w: jax.Array, b=None, pad: int = 1) -> jax.Array:
+    """conv2d(reflect_pad2d(x, pad), w, b) for odd k = 2*pad+1 kernels (the
+    trunk's pad-1 3x3 shape).  Under the custom-VJP policy this routes to
+    the composite backward in fused_grads.reflect_conv2d: autodiff of the
+    pad+conv pair computes d-input as a full-padding transposed conv at
+    (H+2p)^2 and then crops — XLA materializes the padded-width tensor and
+    slices it (18 x 0.21 ms/step across the trunk backward, round-3
+    profile).  The composite emits the interior at exactly (H, W) plus
+    four thin band corrections.
+
+    TPU-only: on XLA:CPU the band convs + row/col scatter-adds run
+    SLOWER than the monolithic transposed conv (and pushed the 1-core
+    virtual-mesh dryrun's cycle step past the 40 s collective-rendezvous
+    watchdog); the composite is a TPU tiling fix, so CPU keeps the
+    autodiff lowering."""
+    if _custom_vjp() and jax.default_backend() != "cpu":
+        from floodgan_tpu.ops import fused_grads
+
+        return fused_grads.reflect_conv2d(x, w, b, pad)
+    return conv2d(reflect_pad2d(x, pad), w, b, stride=1, padding=0)
+
+
 def space_to_depth_phases(x: jax.Array) -> jax.Array:
     """(n, H, W, C) -> (n, H/2, W/2, 4C), channel index (r*2+c)*C + ch for
-    spatial phase (r, c) — the phase convention of the phase-fold convs."""
+    spatial phase (r, c) — the phase convention of the phase-fold convs.
+
+    Lowering note (measured, tools/microbench_s2d.py, real chip, 512^2
+    b8): this 6D reshape/transpose view is the FASTER form — 3.08 ms
+    (bf16 9ch) / 2.41 (f32 3ch) vs 7.14 / 3.21 for a 4D strided-slice
+    channel-concat.  Unlike the reflect-pad case, strided H/W slices of a
+    lane-padded few-channel tensor read worse than the trailing-dim
+    transpose, so the pattern that fixed reflect_pad_phases does NOT
+    transfer here (kept as ``_s2d_slices`` for the record)."""
+    return _space_to_depth_phases_6d(x)
+
+
+def _s2d_slices(x):
+    """Measured-and-rejected alternative lowering (see above)."""
+    return jnp.concatenate(
+        [x[:, r::2, c::2, :] for r in (0, 1) for c in (0, 1)], axis=-1
+    )
+
+
+def _space_to_depth_phases_6d(x: jax.Array) -> jax.Array:
     n, H, W, C = x.shape
     xs = x.reshape(n, H // 2, 2, W // 2, 2, C)
     return xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, H // 2, W // 2, 4 * C)

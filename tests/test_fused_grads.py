@@ -268,3 +268,48 @@ def test_reflect_pad_phases_matches_legacy(rng, pad, monkeypatch):
     gnew = jax.grad(lambda x: jnp.sum(fused_grads.reflect_pad_phases(x, pad, C) * cot))(x)
     np.testing.assert_array_equal(np.asarray(legacy), np.asarray(new))
     np.testing.assert_array_equal(np.asarray(glegacy), np.asarray(gnew))
+
+
+@pytest.mark.parametrize("pad", [1, 2, 3])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_reflect_conv2d_matches_pad_plus_conv(rng, pad, dtype):
+    """Composite reflect-pad+conv custom VJP: forward identical to the
+    pad-then-conv pair, all three grads == autodiff of that pair."""
+    from jax import lax
+
+    k = 2 * pad + 1
+    x = _rand(rng, (2, 12, 14, 5), dtype)
+    w = _rand(rng, (k, k, 5, 6), dtype) * 0.2
+    b = _rand(rng, (6,), dtype)
+    cot = _rand(rng, (2, 12, 14, 6), dtype)
+
+    def legacy(x, w, b):
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+        out = lax.conv_general_dilated(
+            xp, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        return out + b
+
+    def loss(f):
+        return lambda x, w, b: jnp.sum(
+            f(x, w, b).astype(jnp.float32) * cot.astype(jnp.float32)
+        )
+
+    want = legacy(x, w, b)
+    got = fused_grads.reflect_conv2d(x, w, b, pad)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+    gl = jax.grad(loss(legacy), argnums=(0, 1, 2))(x, w, b)
+    gn = jax.grad(
+        loss(lambda x, w, b: fused_grads.reflect_conv2d(x, w, b, pad)),
+        argnums=(0, 1, 2),
+    )(x, w, b)
+    tol = 1e-5 if dtype == jnp.float32 else 3e-2
+    for a, c in zip(gl[:2], gn[:2]):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(c, np.float32), rtol=tol, atol=tol
+        )
+    # bias grad: the composite accumulates in f32 while bf16 autodiff of
+    # the legacy pair sums 336 bf16 terms — compare against the f32 truth
+    db_true = np.sum(np.asarray(cot, np.float32), axis=(0, 1, 2))
+    np.testing.assert_allclose(np.asarray(gn[2], np.float32), db_true, rtol=tol, atol=tol)

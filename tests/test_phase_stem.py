@@ -59,6 +59,10 @@ def test_phase_stem_conv7_with_reflect_pad(rng):
     got_p = conv2d_phase_to_phase(hp, w, padding=3)[:, 2 : 2 + S, 2 : 2 + S]
     got = depth_to_space_phases(got_p, x.shape[1], x.shape[2], 4)
     np.testing.assert_allclose(np.asarray(want), np.asarray(got), rtol=1e-5, atol=1e-5)
+    # crop=2 folds that [2:2+S] halo crop into the conv's padding — same
+    # values, one conv, no padded-grid materialization
+    got_c = conv2d_phase_to_phase(hp, w, padding=3, crop=2)
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(got_c))
 
 
 def test_conv2d_s2_phase_input_k3(rng):
