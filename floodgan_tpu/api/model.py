@@ -354,8 +354,15 @@ class Model:
 
     def _device_batch(self, batch):
         if self.mesh is not None:
-            return shard_images(batch["input"], self.mesh), shard_images(batch["output"], self.mesh)
-        return batch["input"], batch["output"]
+            x, y = shard_images(batch["input"], self.mesh), shard_images(
+                batch["output"], self.mesh
+            )
+        else:
+            x, y = batch["input"], batch["output"]
+        # Layout prep (e.g. phase-major for the attention phase step) rides
+        # the pipeline side of the step boundary — see PairedTrainer.prepare_batch.
+        prep = getattr(self.trainer, "prepare_batch", None)
+        return prep(x, y) if prep is not None else (x, y)
 
     # ------------------------------------------------------------ training
 

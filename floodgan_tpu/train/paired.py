@@ -137,6 +137,26 @@ class PairedTrainer:
             {"params": self._cast(params)}, x.astype(self.compute_dtype)
         ).astype(jnp.float32)
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def prepare_batch(self, input_stack, output_image):
+        """Device-side batch layout prep, run by the input pipeline (after
+        the transform, before train_step): emits the representation the
+        step consumes natively.  For the attention family's phase-stem
+        step that is the 2x2 phase-major form — the s2d permutation of
+        full-resolution few-channel tensors costs ~2.6 ms/step inside the
+        step (lane-padded relayout + (2,2,C) transpose, round-3 profile)
+        and belongs with the transform stage.  Identity for image-space
+        trainers and pix2pix (whose U-Net consumes the image layout).
+        train_step accepts either layout, so callers may skip this."""
+        from floodgan_tpu.ops.nn_ops import space_to_depth_phases
+
+        if self.phase_step and self.returns_mask and self.phase_stem:
+            return (
+                space_to_depth_phases(input_stack),
+                space_to_depth_phases(output_image),
+            )
+        return input_stack, output_image
+
     # -- phase-space twins (active when self.phase_step) ------------------
     def _gen_apply_phase(self, params, x, rng):
         """(B, H/2, W/2, 12) phase-major f32 output (same parameters)."""
@@ -192,9 +212,25 @@ class PairedTrainer:
         from floodgan_tpu.ops.nn_ops import space_to_depth_phases
 
         if self.phase_step:
-            splits = (input_stack.shape[-1], 3)
-            x_rep = space_to_depth_phases(input_stack)
-            y_rep = space_to_depth_phases(output_image)
+            # Accept batches in EITHER layout: image (N, H, W, C) or the
+            # phase-major form prepare_batch emits.  Storing train batches
+            # phase-major moves the s2d permutation (~2.6 ms/step at 512^2
+            # b8 — full-res few-channel tensors relayout lane-padded,
+            # round-3 profile) into the input pipeline's transform stage;
+            # the step consumes its native representation directly.
+            x_is_phase = input_stack.shape[-1] == 4 * self.input_channels
+            if x_is_phase and not (self.returns_mask and self.phase_stem):
+                raise ValueError(
+                    "phase-major batches require the phase-stem attention path "
+                    "(use prepare_batch, which only converts when eligible)"
+                )
+            splits = (self.input_channels, 3)
+            x_rep = input_stack if x_is_phase else space_to_depth_phases(input_stack)
+            y_rep = (
+                output_image
+                if output_image.shape[-1] == 12
+                else space_to_depth_phases(output_image)
+            )
             if self.returns_mask:
                 # attention family: the tail already lives in phase space;
                 # with the phase stem the ENCODER consumes x_rep too and
