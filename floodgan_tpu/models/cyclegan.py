@@ -5,6 +5,14 @@ Behavioral twin of reference model_architectures.py:91-134: reflect-padded
 spot — at 512^2 input these run at 128x128 spatial), two ConvTranspose ups
 (k3 s2 p1 op1), reflect-padded 7x7 RGB head with tanh.  All norms are
 torch-default InstanceNorm2d (no affine params).
+
+Phase-space calling conventions (phase_input / phase_output) reuse the
+attention generator's lowering (models/attention.py): the stem consumes the
+2x2 space-to-depth phase-major form and the head emits it, so at eligible
+sizes NO full-resolution tensor exists inside the generator — the
+(B, H, W, 3..9)-channel tensors that pad 42.7x on TPU lanes never
+materialise.  Parameters are identical across conventions (same names,
+same shapes), so checkpoints don't care which path ran.
 """
 
 from __future__ import annotations
@@ -36,6 +44,13 @@ class ResnetBlock(nn.Module):
 class CycleGANGenerator(nn.Module):
     input_channels: int = 3
     trunk_unroll: int = 0
+    # phase_output=True returns the RGB output in 2x2 phase-major form
+    # (n, H/2, W/2, 12); phase_input=True consumes x in the same form
+    # (n, H/2, W/2, 4*input_channels).  See models/attention.py for the
+    # lowering derivations (reflect_pad_phases, conv2d_phase_to_phase,
+    # conv2d_s2_phase_input, conv_transpose2d_phase_out).
+    phase_output: bool = False
+    phase_input: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -44,21 +59,67 @@ class CycleGANGenerator(nn.Module):
         # encoder/trunk/decoder segment at a time from these.
         from jax.ad_checkpoint import checkpoint_name
 
-        h = ops.reflect_pad2d(x, 3)
-        h = TorchConv(64, 7, 1, 0, name="conv_in")(h)
-        h = ops.instance_norm_act(h, relu=True)
-        for i in range(2):
-            h = TorchConv(64 * 2 ** (i + 1), 3, 2, 1, name=f"down{i + 1}")(h)
+        from floodgan_tpu.ops.nn_ops import (
+            instance_norm_act_phases,
+            reflect_pad_phases,
+            space_to_depth_phases,
+        )
+
+        if self.phase_input:
+            cin = self.input_channels
+            # ReflectionPad2d(3) in phase coordinates (pad 4 halo, even =
+            # phase-aligned) + the k7 stem phase-to-phase with the halo
+            # crop folded into the conv's padding (crop=2) — identical
+            # values to reflpad3 + conv7 in image space.
+            hp = reflect_pad_phases(x, 3, cin)
+            hp = TorchConv(64, 7, 1, 0, name="conv_in")(hp, phase_p2p=(3, cin, 2))
+            hp = instance_norm_act_phases(hp, relu=True)
+            h = TorchConv(128, 3, 2, 1, name="down1")(hp, phase_splits=(64,))
             h = ops.instance_norm_act(h, relu=True)
+        else:
+            h = ops.reflect_pad2d(x, 3)
+            h = TorchConv(64, 7, 1, 0, name="conv_in")(h)
+            h = ops.instance_norm_act(h, relu=True)
+            h = TorchConv(128, 3, 2, 1, name="down1")(h)
+            h = ops.instance_norm_act(h, relu=True)
+        h = TorchConv(256, 3, 2, 1, name="down2")(h)
+        h = ops.instance_norm_act(h, relu=True)
         h = checkpoint_name(h, "seg_boundary")
         h = ResnetTrunk(256, 9, unroll=self.trunk_unroll, name="trunk")(h)
         h = checkpoint_name(h, "seg_boundary")
-        for i in range(2):
-            h = TorchConvTranspose(
-                64 * 2 ** (1 - i), 3, 2, 1, output_padding=1, name=f"up{i + 1}"
-            )(h)
-            h = ops.instance_norm_act(h, relu=True)
-            h = checkpoint_name(h, "seg_boundary")
+
+        # Decoder head — same eligibility rule as the attention heads
+        # (square, even output, half-res >= 128 profit floor): ConvTranspose2
+        # emits subpixel phases directly, IN pools phase groups, and the k7
+        # RGB head runs phase-to-phase.
+        head_h = h.shape[1] * 4
+        use_phase_head = (
+            self.phase_output
+            and h.shape[1] == h.shape[2]
+            and head_h % 2 == 0
+            and head_h // 2 >= 128
+        )
+
+        h = TorchConvTranspose(128, 3, 2, 1, output_padding=1, name="up1")(h)
+        h = ops.instance_norm_act(h, relu=True)
+        h = checkpoint_name(h, "seg_boundary")
+        if use_phase_head:
+            hp = TorchConvTranspose(64, 3, 2, 1, output_padding=1, name="up2")(
+                h, phase_out=True
+            )
+            hp = instance_norm_act_phases(hp, relu=True)
+            hp = checkpoint_name(hp, "seg_boundary")
+            hp = reflect_pad_phases(hp, 3, 64)
+            hp = TorchConv(3, 7, 1, 0, name="conv_out")(hp, phase_p2p=(3, 64, 2))
+            return jnp.tanh(hp)
+        h = TorchConvTranspose(64, 3, 2, 1, output_padding=1, name="up2")(h)
+        h = ops.instance_norm_act(h, relu=True)
+        h = checkpoint_name(h, "seg_boundary")
         h = ops.reflect_pad2d(h, 3)
         h = TorchConv(3, 7, 1, 0, name="conv_out")(h)
-        return jnp.tanh(h)
+        out = jnp.tanh(h)
+        if self.phase_output:
+            # small-resolution fallback (phase head ineligible): keep the
+            # phase-space contract by converting explicitly.
+            return space_to_depth_phases(out)
+        return out

@@ -50,8 +50,10 @@ def build_generator(
     if cls is Pix2PixGenerator:
         return cls(input_channels=input_channels, dropout_rate=dropout_rate)
     if phase_output or phase_input:
-        if cls is not AttentionGenerator:
-            raise ValueError(f"phase generators only exist for the attention family, not {model}")
+        if cls not in (AttentionGenerator, CycleGANGenerator):
+            raise ValueError(
+                f"phase generators only exist for the attention/cycle resnet families, not {model}"
+            )
         return cls(
             input_channels=input_channels, trunk_unroll=9,
             phase_output=phase_output, phase_input=phase_input,

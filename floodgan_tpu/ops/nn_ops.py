@@ -467,6 +467,24 @@ def _space_to_depth_phases_6d(x: jax.Array) -> jax.Array:
     return xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, H // 2, W // 2, 4 * C)
 
 
+def concat_channels_phases(parts) -> jax.Array:
+    """Channel concat of phase-major tensors: parts is [(p_i, c_i), ...]
+    with p_i of shape (n, S, T, 4*c_i); returns (n, S, T, 4*sum(c_i)) in the
+    same phase-major convention (phase is the OUTER factor of the channel
+    index, so a trailing-dim concat would interleave wrongly — each part
+    must be viewed as (..., 4, c_i) first)."""
+    views = [p.reshape(*p.shape[:3], 4, c) for p, c in parts]
+    out = jnp.concatenate(views, axis=-1)
+    return out.reshape(*out.shape[:3], -1)
+
+
+def slice_channels_phases(p: jax.Array, cin: int, lo: int, hi: int) -> jax.Array:
+    """Phase-major channel slice [lo:hi) of a (n, S, T, 4*cin) tensor —
+    the phase form of ``x[..., lo:hi]``."""
+    v = p.reshape(*p.shape[:3], 4, cin)[..., lo:hi]
+    return v.reshape(*p.shape[:3], 4 * (hi - lo))
+
+
 def depth_to_space_phases(p: jax.Array, out_h: int, out_w: int, cout: int) -> jax.Array:
     """Inverse of :func:`space_to_depth_phases` (with trailing-row/col trim
     when out_h/out_w are smaller than twice the phase grid)."""

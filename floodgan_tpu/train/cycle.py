@@ -118,6 +118,7 @@ class CycleTrainer:
         remat: bool = False,
         remat_policy: str = "convs",  # "convs" (save conv outputs) | "full"
         phase_d: bool = None,
+        phase_gen: bool = None,
     ):
         import os
 
@@ -131,6 +132,23 @@ class CycleTrainer:
             phase_d = os.environ.get("FLOODGAN_CYCLE_PHASE_D") == "1"
         self.phase_d = bool(phase_d)
         self.model = model
+        # Fully phase-space cycle step (FLOODGAN_CYCLE_PHASE): BOTH
+        # generators consume and emit the 2x2 phase-major form
+        # (models/cyclegan.py / models/attention.py phase_input+phase_output)
+        # and the discriminators read phases too (phase_d forced on) — so
+        # the whole G_ab/G_ba/cycle/D graph holds NO full-resolution
+        # few-channel tensor.  This is the configuration that won for the
+        # paired step (46.9 -> 61.6 samples/s across round 2-3); phase_d
+        # ALONE was measured slower in round 2 because the image-space
+        # generators forced s2d conversions at every D interface — with
+        # phase generators those conversions vanish.  Same math: the cycle
+        # L1 is a mean over the same elements and every lowering is
+        # golden-tested (tests/test_train_steps.py equivalence).
+        if phase_gen is None:
+            phase_gen = os.environ.get("FLOODGAN_CYCLE_PHASE") == "1"
+        self.phase_gen = bool(phase_gen)
+        if self.phase_gen:
+            self.phase_d = True
         self.cfg = cfg
         self.add_identity_loss = add_identity_loss
         self.input_channels = input_channels
@@ -138,6 +156,12 @@ class CycleTrainer:
         self.generator = build_generator(model, input_channels)
         self.discriminator = build_discriminator(model)
         self.returns_mask = generator_returns_mask(model)
+        if self.phase_gen:
+            # Same parameter names/shapes as self.generator — checkpoints
+            # and init are shared; only the calling convention differs.
+            self.generator_phase = build_generator(
+                model, input_channels, phase_output=True, phase_input=True
+            )
         self.tx = adam_tx(b1=cfg.adam_b1, b2=cfg.adam_b2)
         # Mixed precision: f32 master params, bf16 activations/flops on the
         # MXU, f32 norm statistics and losses (ops upcast internally).
@@ -191,9 +215,11 @@ class CycleTrainer:
         effective batch 2B (the cycle step's four generator forwards become
         two; measured in BENCH_NOTES round 2)."""
 
+        gen = self.generator_phase if self.phase_gen else self.generator
+
         def fwd(p, xx):
             def single(pp, xs):
-                out = self.generator.apply({"params": pp}, xs)
+                out = gen.apply({"params": pp}, xs)
                 out = out[0] if self.returns_mask else out
                 return out
 
@@ -248,14 +274,68 @@ class CycleTrainer:
             return jnp.concatenate([rgb, conditions], axis=-1)
         return rgb
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def prepare_batch(self, input_stack, output_image):
+        """Device-side batch layout prep, run by the input pipeline (after
+        the transform, before train_step): phase-major for the fully
+        phase-space cycle step, identity otherwise.  train_step accepts
+        either layout, so callers may skip this (see
+        PairedTrainer.prepare_batch for the rationale)."""
+        if self.phase_gen:
+            from floodgan_tpu.ops.nn_ops import space_to_depth_phases
+
+            return (
+                space_to_depth_phases(input_stack),
+                space_to_depth_phases(output_image),
+            )
+        return input_stack, output_image
+
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(
         self, state: CycleState, input_stack, output_image, lr, rng
     ) -> Tuple[CycleState, Dict[str, jax.Array]]:
         cfg = self.cfg
-        real_pre = input_stack                       # (B,H,W,C)
-        conditions = input_stack[..., 3:]            # (B,H,W,C-3)
-        real_post = self._with_condition(output_image, conditions)
+        if self.phase_gen:
+            # Fully phase-space step: inputs arrive in (or are converted
+            # once to) the 2x2 phase-major form; generators, cycle L1,
+            # buffers and discriminators all stay there (accepts EITHER
+            # layout so prepare_batch can move the s2d into the pipeline).
+            from floodgan_tpu.ops.nn_ops import (
+                concat_channels_phases,
+                slice_channels_phases,
+                space_to_depth_phases,
+            )
+
+            C = self.input_channels
+            x_is_phase = input_stack.shape[-1] == 4 * C
+            real_pre = input_stack if x_is_phase else space_to_depth_phases(input_stack)
+            y_rep = (
+                output_image
+                if output_image.shape[-1] == 12
+                else space_to_depth_phases(output_image)
+            )
+            if self.has_condition:
+                conditions = slice_channels_phases(real_pre, C, 3, C)
+                with_cond = lambda rgb_p: concat_channels_phases(
+                    [(rgb_p, 3), (conditions, C - 3)]
+                )
+            else:
+                with_cond = lambda rgb_p: rgb_p
+            real_post = with_cond(y_rep)
+            pre_rgb, post_rgb = slice_channels_phases(real_pre, C, 0, 3), y_rep
+            d_form, d_splits = (lambda t: t), (C,)
+        else:
+            real_pre = input_stack                       # (B,H,W,C)
+            conditions = input_stack[..., 3:]            # (B,H,W,C-3)
+            with_cond = lambda rgb: self._with_condition(rgb, conditions)
+            real_post = with_cond(output_image)
+            pre_rgb, post_rgb = real_pre[..., :3], real_post[..., :3]
+            if self.phase_d:
+                from floodgan_tpu.ops.nn_ops import space_to_depth_phases as s2d
+
+                d_form, d_splits = s2d, (self.input_channels,)
+            else:
+                d_form, d_splits = (lambda t: t), None
 
         stack_pair = lambda a, b: jax.tree_util.tree_map(
             lambda u, v: jnp.stack([u, v]), a, b
@@ -268,30 +348,23 @@ class CycleTrainer:
             gboth = stack_pair(gp["ab"], gp["ba"])
             syn = self.gen_apply_pair(gboth, jnp.stack([real_pre, real_post]))
             synthetic_post, synthetic_pre = syn[0], syn[1]
-            synthetic_post_c = self._with_condition(synthetic_post, conditions)
-            synthetic_pre_c = self._with_condition(synthetic_pre, conditions)
+            synthetic_post_c = with_cond(synthetic_post)
+            synthetic_pre_c = with_cond(synthetic_pre)
             rec = self.gen_apply_pair(
                 gboth, jnp.stack([synthetic_pre_c, synthetic_post_c])
             )
             recreated_post, recreated_pre = rec[0], rec[1]
 
             dboth = stack_pair(state.disc_params["post"], state.disc_params["pre"])
-            if self.phase_d:
-                from floodgan_tpu.ops.nn_ops import space_to_depth_phases as s2d
-
-                pred = self.disc_apply_pair(
-                    dboth,
-                    jnp.stack([s2d(synthetic_post_c), s2d(synthetic_pre_c)]),
-                    phase_splits=(self.input_channels,),
-                )
-            else:
-                pred = self.disc_apply_pair(
-                    dboth, jnp.stack([synthetic_post_c, synthetic_pre_c])
-                )
+            pred = self.disc_apply_pair(
+                dboth,
+                jnp.stack([d_form(synthetic_post_c), d_form(synthetic_pre_c)]),
+                phase_splits=d_splits,
+            )
             post_gen_loss = lsgan_mse(pred[0], 1.0)
             pre_gen_loss = lsgan_mse(pred[1], 1.0)
-            pre_to_post_cycle = l1_loss(recreated_pre, real_pre[..., :3]) * cfg.cycle_weight
-            post_to_pre_cycle = l1_loss(recreated_post, real_post[..., :3]) * cfg.cycle_weight
+            pre_to_post_cycle = l1_loss(recreated_pre, pre_rgb) * cfg.cycle_weight
+            post_to_pre_cycle = l1_loss(recreated_post, post_rgb) * cfg.cycle_weight
             total = post_gen_loss + pre_gen_loss + pre_to_post_cycle + post_to_pre_cycle
             aux = {
                 "losses_generator_post": post_gen_loss,
@@ -301,8 +374,8 @@ class CycleTrainer:
             }
             if self.add_identity_loss:
                 ident = self.gen_apply_pair(gboth, jnp.stack([real_post, real_pre]))
-                identity_post = l1_loss(ident[0], real_post[..., :3]) * cfg.identity_weight
-                identity_pre = l1_loss(ident[1], real_pre[..., :3]) * cfg.identity_weight
+                identity_post = l1_loss(ident[0], post_rgb) * cfg.identity_weight
+                identity_pre = l1_loss(ident[1], pre_rgb) * cfg.identity_weight
                 total = total + identity_post + identity_pre
                 aux["losses_identity_post"] = identity_post
                 aux["losses_identity_pre"] = identity_pre
@@ -319,17 +392,10 @@ class CycleTrainer:
         # Under phase_d the buffers hold the 2x2 space-to-depth form —
         # the policy swaps whole images either way, so the returned
         # tensors are exactly the phase form of what the image-space
-        # buffer would return.
-        if self.phase_d:
-            from floodgan_tpu.ops.nn_ops import space_to_depth_phases as s2d
-
-            real_pre_d, real_post_d = s2d(real_pre), s2d(real_post)
-            syn_pre_d, syn_post_d = s2d(synthetic_pre_c), s2d(synthetic_post_c)
-            d_splits = (self.input_channels,)
-        else:
-            real_pre_d, real_post_d = real_pre, real_post
-            syn_pre_d, syn_post_d = synthetic_pre_c, synthetic_post_c
-            d_splits = None
+        # buffer would return.  (Under phase_gen everything is already
+        # phase-major and d_form is the identity.)
+        real_pre_d, real_post_d = d_form(real_pre), d_form(real_post)
+        syn_pre_d, syn_post_d = d_form(synthetic_pre_c), d_form(synthetic_post_c)
         k_pre, k_post = jax.random.split(rng)
         pre_buffer, buffered_pre = state.pre_buffer.query_batch(
             jax.lax.stop_gradient(syn_pre_d), k_pre

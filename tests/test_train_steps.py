@@ -419,3 +419,129 @@ def test_phase_stem_step_matches_image_step(rng, monkeypatch):
                 float(ma[k]), float(mb[k]), rtol=2e-3, atol=1e-4,
                 err_msg=f"step{step} {k}",
             )
+
+
+def test_prepare_batch_phase_major_step_matches_image_batch(rng, monkeypatch):
+    """train_step must accept batches in the layout prepare_batch emits
+    (phase-major for the phase-stem attention path) and produce the SAME
+    update as the image-layout batch — the conversion is a pure
+    permutation moved across the step boundary."""
+    from floodgan_tpu.train.paired import PairedTrainer
+
+    size = 128
+    x = jnp.asarray(rng.standard_normal((2, size, size, 9), dtype=np.float32) * 0.3)
+    y = jnp.asarray(rng.standard_normal((2, size, size, 3), dtype=np.float32) * 0.3)
+    monkeypatch.setenv("FLOODGAN_PHASE_STEM", "1")
+    t = PairedTrainer("pairedattention", 9, phase_step=True)
+    assert t.phase_stem
+    xp, yp = t.prepare_batch(x, y)
+    assert xp.shape == (2, size // 2, size // 2, 36)
+    assert yp.shape == (2, size // 2, size // 2, 12)
+
+    s0 = t.init(jax.random.key(0), x, y)
+    key = jax.random.key(7)
+    lr = jnp.float32(2e-4)
+    s_img, m_img = t.train_step(s0, x, y, lr, key)
+    s0 = t.init(jax.random.key(0), x, y)
+    s_ph, m_ph = t.train_step(s0, xp, yp, lr, key)
+    for k in m_img:
+        np.testing.assert_allclose(
+            float(m_img[k]), float(m_ph[k]), rtol=1e-5, atol=1e-6, err_msg=k
+        )
+    a = jax.tree_util.tree_leaves(s_img.gen_params)
+    b = jax.tree_util.tree_leaves(s_ph.gen_params)
+    for la, lb in zip(a, b):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-5, atol=1e-6)
+
+
+def test_prepare_batch_identity_for_pix2pix(rng):
+    from floodgan_tpu.train.paired import PairedTrainer
+
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 9), dtype=np.float32))
+    y = jnp.asarray(rng.standard_normal((2, 64, 64, 3), dtype=np.float32))
+    t = PairedTrainer("pix2pix", 9)
+    xp, yp = t.prepare_batch(x, y)
+    assert xp.shape == x.shape and yp.shape == y.shape
+
+
+def test_cyclegan_phase_generator_matches_image(rng):
+    """CycleGANGenerator with phase_input+phase_output (stem consumes the
+    phase-major form, head emits it — small size, so the head runs the
+    image fallback + explicit s2d) must equal the image-space forward
+    under shared parameters."""
+    from floodgan_tpu.models.cyclegan import CycleGANGenerator
+    from floodgan_tpu.ops.nn_ops import space_to_depth_phases
+
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 9), dtype=np.float32) * 0.3)
+    gi = CycleGANGenerator(input_channels=9)
+    params = gi.init(jax.random.key(3), x)["params"]
+    want = space_to_depth_phases(gi.apply({"params": params}, x))
+    gp = CycleGANGenerator(input_channels=9, phase_output=True, phase_input=True)
+    got = gp.apply({"params": params}, space_to_depth_phases(x))
+    assert got.shape == want.shape == (1, 32, 32, 12)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+@pytest.mark.slow
+def test_cyclegan_phase_head_matches_image(rng):
+    """At a phase-head-eligible size (>=256: half-res >= 128) the cycle
+    generator's k7 RGB head runs phase-to-phase; values must still equal
+    the image-space forward."""
+    from floodgan_tpu.models.cyclegan import CycleGANGenerator
+    from floodgan_tpu.ops.nn_ops import space_to_depth_phases
+
+    x = jnp.asarray(rng.standard_normal((1, 256, 256, 9), dtype=np.float32) * 0.3)
+    gi = CycleGANGenerator(input_channels=9)
+    params = gi.init(jax.random.key(3), x)["params"]
+    want = space_to_depth_phases(gi.apply({"params": params}, x))
+    gp = CycleGANGenerator(input_channels=9, phase_output=True, phase_input=True)
+    got = gp.apply({"params": params}, space_to_depth_phases(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
+
+
+def test_phase_channel_helpers_roundtrip(rng):
+    from floodgan_tpu.ops.nn_ops import (
+        concat_channels_phases,
+        slice_channels_phases,
+        space_to_depth_phases,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 9), dtype=np.float32))
+    xp = space_to_depth_phases(x)
+    rgb_p = slice_channels_phases(xp, 9, 0, 3)
+    cond_p = slice_channels_phases(xp, 9, 3, 9)
+    np.testing.assert_array_equal(
+        np.asarray(rgb_p), np.asarray(space_to_depth_phases(x[..., :3]))
+    )
+    back = concat_channels_phases([(rgb_p, 3), (cond_p, 6)])
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(xp))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("model", ["cyclegan", "attentiongan"])
+def test_cycle_phase_gen_matches_image(rng, model):
+    """Fully phase-space cycle step (FLOODGAN_CYCLE_PHASE: phase
+    generators + phase discriminators + phase buffers + phase-major
+    batches via prepare_batch) must reproduce the image-space step's loss
+    trajectory."""
+    from floodgan_tpu.train.cycle import CycleTrainer
+
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 9), dtype=np.float32) * 0.5)
+    y = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32) * 0.5)
+    a = CycleTrainer(model, 9, phase_d=False, phase_gen=False)
+    b = CycleTrainer(model, 9, phase_gen=True)
+    assert b.phase_d
+    sa = a.init(jax.random.key(5), x, y)
+    sb = b.init(jax.random.key(5), x, y)
+    xp, yp = b.prepare_batch(x, y)
+    assert xp.shape == (2, 16, 16, 36) and yp.shape == (2, 16, 16, 12)
+    key = jax.random.key(1)
+    lr = jnp.float32(2e-4)
+    for step in range(2):
+        sa, ma = a.train_step(sa, x, y, lr, key)
+        sb, mb = b.train_step(sb, xp, yp, lr, key)
+        for k in ma:
+            np.testing.assert_allclose(
+                float(ma[k]), float(mb[k]), rtol=2e-3, atol=1e-4,
+                err_msg=f"step{step} {k}",
+            )

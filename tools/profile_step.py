@@ -87,6 +87,12 @@ def main() -> None:
     state = trainer.init(jax.random.key(0), x, y)
     lr = jnp.float32(2e-4)
 
+    # Same layout real training feeds (pipeline-side prep, e.g. phase-major
+    # for the attention phase step) so the profiled program is the bench one.
+    prep = getattr(trainer, "prepare_batch", None)
+    if prep is not None:
+        x, y = prep(x, y)
+
     def sync(metrics):
         return float(jax.device_get(next(iter(metrics.values()))))
 
