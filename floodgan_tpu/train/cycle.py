@@ -144,8 +144,21 @@ class CycleTrainer:
         # phase generators those conversions vanish.  Same math: the cycle
         # L1 is a mean over the same elements and every lowering is
         # golden-tested (tests/test_train_steps.py equivalence).
+        # Measured on v5e 512^2 b8 --remat: image-space 10.35 samples/s
+        # (28.1% MFU) -> fully phase-space 14.23 (51.4% MFU).  Default ON
+        # on TPU-class backends; OFF on CPU, where the phase lowerings'
+        # band/scatter forms are slower (same rationale as the composite
+        # reflect-conv VJP) and the extra graph size risks the 1-core
+        # dryrun's 40 s collective-rendezvous watchdog.
+        # FLOODGAN_CYCLE_PHASE=0/1 overrides either way.
         if phase_gen is None:
-            phase_gen = os.environ.get("FLOODGAN_CYCLE_PHASE") == "1"
+            env = os.environ.get("FLOODGAN_CYCLE_PHASE")
+            if env is None:
+                import jax as _jax
+
+                phase_gen = _jax.default_backend() != "cpu"
+            else:
+                phase_gen = env == "1"
         self.phase_gen = bool(phase_gen)
         if self.phase_gen:
             self.phase_d = True
