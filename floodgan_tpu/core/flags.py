@@ -73,6 +73,23 @@ def phase_head() -> bool:
     return os.environ.get("FLOODGAN_PHASE_HEAD", "1") != "0"
 
 
+def flat_compose() -> bool:
+    """Whether the phase-space attention composition runs on flat channel
+    layouts (constant 0/1-matrix matmuls for the per-phase softmax and
+    k-contraction, ops/nn_ops.py attention_compose_phases) instead of
+    reshaping to (…, 4, 10)/(…, 4, 9, 3).  Same math to float
+    reassociation (golden-tested).
+
+    Default OFF — measured-and-rejected on v5e (512^2 b8 headline: 61.87
+    vs 63.60 samples/s): the 5-D layout copies the flat form removes
+    (e.g. the 4.8 ms/step logits copy in the round-3 profile) are async
+    DMAs XLA already overlaps with compute, while the selector matmuls
+    and broadcast chains add real critical-path time.
+    FLOODGAN_FLAT_COMPOSE=1 enables for re-measurement on other
+    hardware/XLA versions."""
+    return os.environ.get("FLOODGAN_FLAT_COMPOSE", "0") == "1"
+
+
 def custom_vjp_norms() -> bool:
     """Whether the norm/pad chains use the hand-derived closed-form VJPs
     (ops/fused_grads.py) instead of autodiff through the statistics

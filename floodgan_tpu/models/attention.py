@@ -195,28 +195,41 @@ class AttentionGenerator(nn.Module):
             _, content_p, out_h, out_w = content_r
             _, attn_p, _, _ = attn_r
             n, h2, w2, _ = content_p.shape
-            content_p = jnp.tanh(content_p).reshape(n, h2, w2, 4, 9, 3)
-            logits_p = attn_p.reshape(n, h2, w2, 4, 10)
             if self.phase_input:
                 # x is already phase-major on exactly this grid
-                rgb_p = x.reshape(n, h2, w2, 4, self.input_channels)[..., :3]
+                from floodgan_tpu.ops.nn_ops import slice_channels_phases
+
+                rgb_p12 = slice_channels_phases(x, self.input_channels, 0, 3)
             else:
-                rgb_p = space_to_depth_phases(x[..., :3]).reshape(n, h2, w2, 4, 3)
-            attn = jax.nn.softmax(logits_p.astype(jnp.float32), axis=-1)
-            attn = attn.astype(content_p.dtype)
-            fg = jnp.einsum("nhwpkc,nhwpk->nhwpc", content_p, attn[..., :9])
-            out_p = fg + rgb_p.astype(content_p.dtype) * attn[..., 9:10]
-            if self.phase_output:
-                return (
-                    out_p.reshape(n, h2, w2, 4 * 3),
-                    attn[..., 9].reshape(n, h2, w2, 4),
+                rgb_p12 = space_to_depth_phases(x[..., :3])
+
+            from floodgan_tpu.core.flags import flat_compose
+
+            if flat_compose():
+                # Flat-channel compose (ops.attention_compose_phases): the
+                # per-phase softmax + 9-way MAC as constant 0/1-matrix
+                # matmuls — no (…, 4, 10)/(…, 4, 9, 3) intermediates.
+                from floodgan_tpu.ops.nn_ops import attention_compose_phases
+
+                out12, bg4 = attention_compose_phases(
+                    jnp.tanh(content_p), attn_p, rgb_p12
                 )
-            output = depth_to_space_phases(
-                out_p.reshape(n, h2, w2, 4 * 3), out_h, out_w, 3
-            )
-            background_mask = depth_to_space_phases(
-                attn[..., 9].reshape(n, h2, w2, 4), out_h, out_w, 1
-            )[..., 0]
+                out12 = out12.astype(content_p.dtype)
+                bg4 = bg4.astype(content_p.dtype)
+            else:
+                content_5 = jnp.tanh(content_p).reshape(n, h2, w2, 4, 9, 3)
+                logits_p = attn_p.reshape(n, h2, w2, 4, 10)
+                rgb_p = rgb_p12.reshape(n, h2, w2, 4, 3)
+                attn = jax.nn.softmax(logits_p.astype(jnp.float32), axis=-1)
+                attn = attn.astype(content_5.dtype)
+                fg = jnp.einsum("nhwpkc,nhwpk->nhwpc", content_5, attn[..., :9])
+                out_p = fg + rgb_p.astype(content_5.dtype) * attn[..., 9:10]
+                out12 = out_p.reshape(n, h2, w2, 4 * 3)
+                bg4 = attn[..., 9].reshape(n, h2, w2, 4)
+            if self.phase_output:
+                return out12, bg4
+            output = depth_to_space_phases(out12, out_h, out_w, 3)
+            background_mask = depth_to_space_phases(bg4, out_h, out_w, 1)[..., 0]
             return output, background_mask
 
         content = jnp.tanh(content_r[1])

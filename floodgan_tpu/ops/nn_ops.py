@@ -467,6 +467,68 @@ def _space_to_depth_phases_6d(x: jax.Array) -> jax.Array:
     return xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, H // 2, W // 2, 4 * C)
 
 
+def _compose_selectors():
+    """Constant 0/1 matrices for the flat-channel phase compose (below).
+    Channel conventions (phase-major): content (…, 108) = [p(4), k(9), c(3)],
+    logits (…, 40) = [p(4), k(10)] with k=9 the background mask, rgb/out
+    (…, 12) = [p(4), c(3)]."""
+    import numpy as np
+
+    P, K, C = 4, 10, 3
+    b_max = np.zeros((P, P * K), np.float32)          # (…,4) max -> (…,40)
+    b_den = np.zeros((P * K, P), np.float32)          # (…,40) e -> (…,4) sum
+    b_fg = np.zeros((P * K, P * (K - 1) * C), np.float32)   # e -> content lanes
+    b_bg = np.zeros((P * K, P * C), np.float32)       # e[k=9] -> rgb lanes
+    b_sum = np.zeros((P * (K - 1) * C, P * C), np.float32)  # sum over k
+    b_dnorm = np.zeros((P, P * C), np.float32)        # (…,4) 1/d -> (…,12)
+    b_bgm = np.zeros((P * K, P), np.float32)          # e[k=9] -> (…,4)
+    for p in range(P):
+        for k in range(K):
+            b_max[p, p * K + k] = 1
+            b_den[p * K + k, p] = 1
+        b_bgm[p * K + K - 1, p] = 1
+        for c in range(C):
+            b_bg[p * K + K - 1, p * C + c] = 1
+            b_dnorm[p, p * C + c] = 1
+            for k in range(K - 1):
+                b_fg[p * K + k, p * ((K - 1) * C) + k * C + c] = 1
+                b_sum[p * ((K - 1) * C) + k * C + c, p * C + c] = 1
+    return tuple(jnp.asarray(b) for b in (b_max, b_den, b_fg, b_bg, b_sum, b_dnorm, b_bgm))
+
+
+def attention_compose_phases(content_p: jax.Array, logits_p: jax.Array, rgb_p: jax.Array):
+    """Attention composition on FLAT phase-major channel layouts.
+
+    Same math as softmax(logits) -> 9-way content MAC + background blend
+    (reference model_architectures.py:227-258), expressed entirely on
+    (…, 108)/(…, 40)/(…, 12) channel-flat tensors: the per-phase softmax
+    and the k-contraction become multiplies with constant 0/1 matrices
+    (tiny MXU matmuls) instead of reshapes to (…, 4, 10)/(…, 4, 9, 3) —
+    whose 5-D minor dims tile terribly on TPU (the round-3 profile shows
+    a 4.8 ms/step layout copy of the (…, 4, 10) logits alone, plus the
+    padded softmax/einsum fusions).  Normalisation is applied once at the
+    end: out = (Σ_k c_k e_k + rgb e_bg) / Σ_k e_k with e = exp(l - max),
+    identical to softmax-then-MAC up to float reassociation.
+
+    content_p: (n, S, T, 108) tanh'd content phases; logits_p: (n, S, T, 40)
+    mask logits; rgb_p: (n, S, T, 12) input RGB phases.
+    Returns (out (n, S, T, 12) f32, background mask (n, S, T, 4) f32).
+    """
+    b_max, b_den, b_fg, b_bg, b_sum, b_dnorm, b_bgm = _compose_selectors()
+    l32 = logits_p.astype(jnp.float32)
+    m = jnp.max(l32.reshape(*l32.shape[:3], 4, 10), axis=-1)  # (…,4) — small
+    e = jnp.exp(l32 - m @ b_max)                              # (…,40) f32, <= 1
+    d = e @ b_den                                             # (…,4)
+    cdt = content_p.dtype
+    num = content_p * (e @ b_fg).astype(cdt)                  # (…,108)
+    fg_un = (num @ b_sum.astype(cdt)).astype(jnp.float32)     # (…,12), |.| <= 9
+    bg_un = rgb_p.astype(jnp.float32) * (e @ b_bg)            # (…,12)
+    recip = 1.0 / d
+    out = (fg_un + bg_un) * (recip @ b_dnorm)
+    bg_mask = (e @ b_bgm) * recip
+    return out, bg_mask
+
+
 def concat_channels_phases(parts) -> jax.Array:
     """Channel concat of phase-major tensors: parts is [(p_i, c_i), ...]
     with p_i of shape (n, S, T, 4*c_i); returns (n, S, T, 4*sum(c_i)) in the

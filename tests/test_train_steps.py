@@ -545,3 +545,28 @@ def test_cycle_phase_gen_matches_image(rng, model):
                 float(ma[k]), float(mb[k]), rtol=2e-3, atol=1e-4,
                 err_msg=f"step{step} {k}",
             )
+
+
+def test_flat_compose_matches_einsum(rng):
+    """attention_compose_phases (flat-channel 0/1-matrix form) must equal
+    the reshape/softmax/einsum composition bit-for-bit up to f32
+    reassociation."""
+    from floodgan_tpu.ops.nn_ops import attention_compose_phases
+
+    n, s = 2, 16
+    content = np.tanh(rng.standard_normal((n, s, s, 108), dtype=np.float32))
+    logits = rng.standard_normal((n, s, s, 40), dtype=np.float32) * 3.0
+    rgb = rng.standard_normal((n, s, s, 12), dtype=np.float32)
+    out, bg = attention_compose_phases(
+        jnp.asarray(content), jnp.asarray(logits), jnp.asarray(rgb)
+    )
+
+    c5 = content.reshape(n, s, s, 4, 9, 3)
+    l5 = logits.reshape(n, s, s, 4, 10)
+    attn = np.asarray(jax.nn.softmax(jnp.asarray(l5), axis=-1))
+    fg = np.einsum("nhwpkc,nhwpk->nhwpc", c5, attn[..., :9])
+    want = (fg + rgb.reshape(n, s, s, 4, 3) * attn[..., 9:10]).reshape(n, s, s, 12)
+    np.testing.assert_allclose(np.asarray(out), want, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(bg), attn[..., 9].reshape(n, s, s, 4), atol=2e-6
+    )

@@ -64,8 +64,11 @@ def main():
     jax.block_until_ready(last["input"])
     t_loader = time.time() - t0
     print(f"breakdown/loader (dec+xform+H2D): {n_train / t_loader:7.1f} samples/s")
-    # train step only (device-resident batch)
+    # train step only (device-resident batch, in the step's native layout —
+    # matches bench.py and Model._device_batch)
     st, bt = model.state, last
+    bx, by = model.trainer.prepare_batch(bt["input"], bt["output"])
+    bt = {"input": bx, "output": by}
     model.state, m = model.trainer.train_step(
         model.state, bt["input"], bt["output"], np.float32(2e-4), jax.random.key(0)
     )

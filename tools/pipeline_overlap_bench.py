@@ -74,16 +74,17 @@ def main():
     last = None
     for b in loader.epoch_iter(0):
         last = b
+    lx, ly = model.trainer.prepare_batch(last["input"], last["output"])
     model.state, m = model.trainer.train_step(
-        model.state, last["input"], last["output"], np.float32(2e-4), jax.random.key(0)
+        model.state, lx, ly, np.float32(2e-4), jax.random.key(0)
     )
     jax.block_until_ready(m)
 
-    # ---- step-only: device-resident batch, no loader in the loop ----
+    # ---- step-only: device-resident batch in the step's native layout ----
     t0 = time.time()
     for i in range(steps_per_epoch):
         model.state, m = model.trainer.train_step(
-            model.state, last["input"], last["output"], np.float32(2e-4), jax.random.key(i)
+            model.state, lx, ly, np.float32(2e-4), jax.random.key(i)
         )
     jax.block_until_ready(m)
     step_only = steps_per_epoch * batch / (time.time() - t0)
@@ -95,8 +96,10 @@ def main():
         t0 = time.time()
         n = 0
         for b in loader.epoch_iter(epoch):
+            # pipeline-side layout prep, as Model._device_batch does
+            bx, by = model.trainer.prepare_batch(b["input"], b["output"])
             model.state, m = model.trainer.train_step(
-                model.state, b["input"], b["output"], np.float32(2e-4), jax.random.key(n)
+                model.state, bx, by, np.float32(2e-4), jax.random.key(n)
             )
             n += b["input"].shape[0]
         jax.block_until_ready(m)
