@@ -274,6 +274,12 @@ class PairedTrainer:
         )
 
         # ---- discriminator update (reference model.py:620-633) ----
+        # Two separate D reads.  Batching them into one 2B application is
+        # exact for the instance-norm discriminators (per-sample stats —
+        # invariant pinned in tests) and was measured a WASH on v5e at the
+        # headline config (63.40 vs 63.60 samples/s): at batch 8 the D is
+        # already MXU-efficient and XLA schedules the two reads back to
+        # back, so the simpler form (and the smaller live set) stays.
         def d_loss_fn(dp):
             pred_syn = disc_fn(dp, concat_syn)
             loss_syn = lsgan_mse(pred_syn, 0.0)

@@ -570,3 +570,21 @@ def test_flat_compose_matches_einsum(rng):
     np.testing.assert_allclose(
         np.asarray(bg), attn[..., 9].reshape(n, s, s, 4), atol=2e-6
     )
+
+
+def test_patchgan_instance_batched_reads_equal(rng):
+    """The paired step batches D(syn) and D(real) into one 2B application
+    for instance-norm discriminators; valid because instance norm uses
+    per-sample statistics — pin that the batched logits equal per-read
+    logits exactly."""
+    from floodgan_tpu.models.patchgan import PatchGANDiscriminator
+
+    disc = PatchGANDiscriminator(norm="instance")
+    x1 = jnp.asarray(rng.standard_normal((2, 64, 64, 12), dtype=np.float32))
+    x2 = jnp.asarray(rng.standard_normal((2, 64, 64, 12), dtype=np.float32))
+    params = disc.init({"params": jax.random.key(0)}, x1)
+    both = disc.apply(params, jnp.concatenate([x1, x2], axis=0))
+    p1 = disc.apply(params, x1)
+    p2 = disc.apply(params, x2)
+    np.testing.assert_allclose(np.asarray(both[:2]), np.asarray(p1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(both[2:]), np.asarray(p2), atol=1e-5)
