@@ -65,23 +65,16 @@ class AttentionGenerator(nn.Module):
 
         # --- shared encoder ---
         if self.phase_input:
-            from floodgan_tpu.ops.nn_ops import (
-                instance_norm_act_phases,
-                reflect_pad_phases,
-            )
+            from floodgan_tpu.ops.nn_ops import instance_norm_act_phases
 
             xp = x  # (n, H/2, W/2, 4*C) phase-major
             n, S, T, _ = xp.shape
             cin = self.input_channels
-            # ReflectionPad2d(3) directly in phase coordinates (pad 4 halo,
-            # even = phase-aligned), then the k7 conv phase-to-phase.  The
-            # conv's padding=3 tap window over the 4-padded grid yields the
-            # 3-padded result on phase rows [2, 2+S) — slice, don't pad.
-            hp = reflect_pad_phases(xp, 3, cin)
-            # crop=2 folds the halo crop into the conv's padding (the
-            # sliced form materialized the padded grid + its backward
-            # zero-pad; see conv2d_phase_to_phase)
-            hp = TorchConv(64, 7, 1, 0, name="conv1")(hp, phase_p2p=(3, cin, 2))
+            # ReflectionPad2d(3) + the k7 conv as ONE phase-space composite
+            # (ops.reflect_conv_phases): interior conv at exact size + four
+            # thin halo band convs — neither the padded image nor the
+            # padded phase grid ever materializes.
+            hp = TorchConv(64, 7, 1, 0, name="conv1")(xp, phase_rp2p=(3, cin))
             hp = instance_norm_act_phases(hp, relu=True)
             h = TorchConv(128, 3, 2, 1, name="conv2")(hp, phase_splits=(64,))
             h = ops.instance_norm_act(h, relu=True)
@@ -106,10 +99,7 @@ class AttentionGenerator(nn.Module):
         # the 150 ms step to the content k7 chain's full-resolution
         # operands (fwd 3.4 + d-input 5.8 at padded 518^2 + wgrad 4.0).
         from floodgan_tpu.core.flags import phase_head
-        from floodgan_tpu.ops.nn_ops import (
-            instance_norm_act_phases,
-            reflect_pad_phases,
-        )
+        from floodgan_tpu.ops.nn_ops import instance_norm_act_phases
 
         head_h = h.shape[1] * 4  # decoder output H (trunk is at H/4)
         use_phase_head = (
@@ -130,8 +120,7 @@ class AttentionGenerator(nn.Module):
             )
             cp = instance_norm_act_phases(cp, relu=True)
             cp = checkpoint_name(cp, "seg_boundary")
-            cp = reflect_pad_phases(cp, 3, 64)
-            cp = TorchConv(27, 7, 1, 0, name="deconv3_content")(cp, phase_p2p=(3, 64, 2))
+            cp = TorchConv(27, 7, 1, 0, name="deconv3_content")(cp, phase_rp2p=(3, 64))
             content_r = ("phases", cp, head_h, head_h)
 
             # --- attention head, phase space ---

@@ -61,18 +61,15 @@ class CycleGANGenerator(nn.Module):
 
         from floodgan_tpu.ops.nn_ops import (
             instance_norm_act_phases,
-            reflect_pad_phases,
             space_to_depth_phases,
         )
 
         if self.phase_input:
             cin = self.input_channels
-            # ReflectionPad2d(3) in phase coordinates (pad 4 halo, even =
-            # phase-aligned) + the k7 stem phase-to-phase with the halo
-            # crop folded into the conv's padding (crop=2) — identical
-            # values to reflpad3 + conv7 in image space.
-            hp = reflect_pad_phases(x, 3, cin)
-            hp = TorchConv(64, 7, 1, 0, name="conv_in")(hp, phase_p2p=(3, cin, 2))
+            # ReflectionPad2d(3) + the k7 stem as one phase-space composite
+            # (ops.reflect_conv_phases) — identical values to reflpad3 +
+            # conv7 in image space, no padded tensor materialized.
+            hp = TorchConv(64, 7, 1, 0, name="conv_in")(x, phase_rp2p=(3, cin))
             hp = instance_norm_act_phases(hp, relu=True)
             h = TorchConv(128, 3, 2, 1, name="down1")(hp, phase_splits=(64,))
             h = ops.instance_norm_act(h, relu=True)
@@ -109,8 +106,7 @@ class CycleGANGenerator(nn.Module):
             )
             hp = instance_norm_act_phases(hp, relu=True)
             hp = checkpoint_name(hp, "seg_boundary")
-            hp = reflect_pad_phases(hp, 3, 64)
-            hp = TorchConv(3, 7, 1, 0, name="conv_out")(hp, phase_p2p=(3, 64, 2))
+            hp = TorchConv(3, 7, 1, 0, name="conv_out")(hp, phase_rp2p=(3, 64))
             return jnp.tanh(hp)
         h = TorchConvTranspose(64, 3, 2, 1, output_padding=1, name="up2")(h)
         h = ops.instance_norm_act(h, relu=True)

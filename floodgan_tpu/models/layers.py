@@ -36,13 +36,28 @@ class TorchConv(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x, phases: bool = False, phase_splits=None, phase_p2p=None):
+    def __call__(
+        self, x, phases: bool = False, phase_splits=None, phase_p2p=None,
+        phase_rp2p=None,
+    ):
         from floodgan_tpu.ops.nn_ops import (
             _conv2d_phasefold_phases,
             _phasefold_eligible,
             conv2d_phase_to_phase,
             conv2d_s2_phase_input,
+            reflect_conv_phases,
         )
+
+        if phase_rp2p is not None:
+            # x is phase-major and UNPADDED; computes
+            # conv(reflect_pad(x, pad)) in phase space as one composite
+            # (ops.reflect_conv_phases) — the padded tensor never
+            # materializes.  phase_rp2p carries (image_pad, cin); params
+            # are the ordinary image-space kernel.
+            pad, cin = phase_rp2p
+            w = self.param("weight", conv_init, (self.kernel, self.kernel, cin, self.features))
+            b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+            return reflect_conv_phases(x, w, b, pad, cin)
 
         if phase_p2p is not None:
             # x is phase-major (n, H/2, W/2, 4*cin) and the output stays in

@@ -257,6 +257,36 @@ def conv2d_s2_phase_input(
     return out
 
 
+def _phase_p2p_kernel(w: jax.Array, p: int):
+    """Embedded kernel for the stride-1 phase-to-phase conv (see
+    conv2d_phase_to_phase's derivation): taps of a k x k image conv with
+    padding p placed into an (ext, ext) kernel over 4*cin phase channels
+    with 4*cout phase-major outputs; zeros where a (r, d, a) triple has no
+    valid image tap.  Returns (kernel, dmin, dmax)."""
+    kh, kw, cin, cout = w.shape
+    dmin = min((r - p) // 2 for r in (0, 1))
+    dmax = max((r + kh - 1 - p) // 2 for r in (0, 1))
+    ext = dmax - dmin + 1
+    wp = jnp.zeros((ext, ext, 4 * cin, 4 * cout), w.dtype)
+    for r in (0, 1):
+        for c in (0, 1):
+            for d in range(dmin, dmax + 1):
+                for dd in range(dmin, dmax + 1):
+                    for a in (0, 1):
+                        for bb in (0, 1):
+                            j = 2 * d + a + p - r
+                            k = 2 * dd + bb + p - c
+                            if not (0 <= j < kh and 0 <= k < kw):
+                                continue
+                            wp = wp.at[
+                                d - dmin,
+                                dd - dmin,
+                                (a * 2 + bb) * cin : (a * 2 + bb + 1) * cin,
+                                (r * 2 + c) * cout : (r * 2 + c + 1) * cout,
+                            ].set(w[j, k])
+    return wp, dmin, dmax
+
+
 def conv2d_phase_to_phase(
     xp: jax.Array,
     w: jax.Array,
@@ -299,27 +329,7 @@ def conv2d_phase_to_phase(
         raise ValueError(f"phase input channels {xp.shape[-1]} not divisible by 4")
     if xp.shape[-1] // 4 != cin:
         raise ValueError(f"phase input implies cin={xp.shape[-1] // 4}, kernel has {cin}")
-    p = padding
-    dmin = min((r - p) // 2 for r in (0, 1))
-    dmax = max((r + kh - 1 - p) // 2 for r in (0, 1))
-    ext = dmax - dmin + 1
-    wp = jnp.zeros((ext, ext, 4 * cin, 4 * cout), w.dtype)
-    for r in (0, 1):
-        for c in (0, 1):
-            for d in range(dmin, dmax + 1):
-                for dd in range(dmin, dmax + 1):
-                    for a in (0, 1):
-                        for bb in (0, 1):
-                            j = 2 * d + a + p - r
-                            k = 2 * dd + bb + p - c
-                            if not (0 <= j < kh and 0 <= k < kw):
-                                continue
-                            wp = wp.at[
-                                d - dmin,
-                                dd - dmin,
-                                (a * 2 + bb) * cin : (a * 2 + bb + 1) * cin,
-                                (r * 2 + c) * cout : (r * 2 + c + 1) * cout,
-                            ].set(w[j, k])
+    wp, dmin, dmax = _phase_p2p_kernel(w, padding)
     out = lax.conv_general_dilated(
         xp,
         wp,
@@ -378,6 +388,105 @@ def reflect_pad_phases(xp: jax.Array, pad: int, cin: int) -> jax.Array:
     right = jnp.stack([pcol(T - k, T - k - 1) for k in range(1, q + 1)], axis=2)
     x5 = jnp.concatenate([left, x5, right], axis=2)
     return x5.reshape(n, S + 2 * q, T + 2 * q, 4 * cin)
+
+
+def reflect_conv_phases(
+    xp: jax.Array, w: jax.Array, b: Optional[jax.Array], pad: int, cin: int
+) -> jax.Array:
+    """conv2d_phase_to_phase(reflect_pad_phases(xp, pad, cin), w,
+    padding=pad, crop=(pad+1)//2) as ONE composite — the phase-space
+    analog of the trunk's reflect_conv2d.
+
+    The explicit form materializes the (S+2q)^2 padded tensor (137 MB at
+    the 512^2-b8 content head) and its backward scatters the padded
+    cotangent back through per-row channel-block adds — together the
+    single largest non-conv term left in the round-3 profile
+    (reflect_pad_phases chain ~7 ms/step at head shapes,
+    tools/microbench_phaseparts.py).  By linearity,
+    conv(pad(x)) = conv(x, zero pad q) + conv(halo), and the halo is
+    nonzero only on q phase rows/cols per side, so its contribution is
+    four thin band convs (reach exactly q output rows/cols — O(q/S) of
+    the interior work) added into the output borders.  The bands are the
+    same channel-block row/col slices fused_grads._rpp_build constructs;
+    autodiff of every piece is already the efficient form (the interior's
+    d-input is a transposed conv at exactly (S, T) — no padded-width
+    intermediate, no crop), so no custom VJP is needed.
+
+    TPU-only (same rationale as reflect_conv2d): on XLA:CPU the band
+    convs + border DUS-adds run slower than the monolithic pad+conv, so
+    CPU keeps the explicit form.  Values are identical (golden-tested,
+    forward and grads)."""
+    if _custom_vjp() and jax.default_backend() != "cpu":
+        return _reflect_conv_phases_composite(xp, w, b, pad, cin)
+    hp = reflect_pad_phases(xp, pad, cin)
+    return conv2d_phase_to_phase(hp, w, padding=pad, b=b, crop=(pad + 1) // 2)
+
+
+def _reflect_conv_phases_composite(xp, w, b, pad, cin):
+    """See reflect_conv_phases.  Derivation of the band geometry: with
+    Xp the (S+2q, T+2q) padded grid and wp the (ext, ext) embedded kernel
+    (ext = 2q+1 for odd pad, k = 2*pad+1), the target equals
+    lax.conv(Xp, wp, VALID): out[t] = sum_d wp[d] Xp[t+d].  Splitting
+    Xp into the zero-embedded interior and the four halo strips gives
+    the interior conv with symmetric padding q and, e.g. for the top
+    strip (Xp rows 0..q-1), contributions only to outputs t < q:
+    a conv over the q-row band with row padding (0, ext-1)."""
+    q = (pad + 1) // 2
+    C = cin
+    n, S, T, c4 = xp.shape
+    if c4 != 4 * C:
+        raise ValueError(f"expected {4 * C} phase channels, got {c4}")
+    wp, dmin, dmax = _phase_p2p_kernel(w, pad)
+    if -dmin != q or dmax != q:
+        raise ValueError(
+            f"reflect_conv_phases derived for odd pad with k = 2*pad+1 "
+            f"(got dmin={dmin}, dmax={dmax}, q={q})"
+        )
+    ext = dmax - dmin + 1
+    e = ext - 1
+
+    def conv(z, pads):
+        return lax.conv_general_dilated(z, wp, (1, 1), pads, dimension_numbers=DIMSPEC)
+
+    y = conv(xp, ((q, q), (q, q)))
+    if b is not None:
+        y = y + jnp.tile(b, 4)
+
+    # halo bands — the channel-block mirror slices of _rpp_build
+    def prow(src, s0, s1):
+        return jnp.concatenate(
+            [src[:, s0 : s0 + 1, :, : 2 * C], src[:, s1 : s1 + 1, :, 2 * C :]], axis=-1
+        )
+
+    def pcol(src, t0, t1):
+        return jnp.concatenate(
+            [
+                src[:, :, t0 : t0 + 1, 0:C],
+                src[:, :, t1 : t1 + 1, C : 2 * C],
+                src[:, :, t0 : t0 + 1, 2 * C : 3 * C],
+                src[:, :, t1 : t1 + 1, 3 * C :],
+            ],
+            axis=-1,
+        )
+
+    top = jnp.concatenate([prow(xp, k, k - 1) for k in range(q, 0, -1)], axis=1)
+    bot = jnp.concatenate([prow(xp, S - k, S - k - 1) for k in range(1, q + 1)], axis=1)
+
+    def colext(band):
+        left = jnp.concatenate([pcol(band, k, k - 1) for k in range(q, 0, -1)], axis=2)
+        right = jnp.concatenate(
+            [pcol(band, T - k, T - k - 1) for k in range(1, q + 1)], axis=2
+        )
+        return jnp.concatenate([left, band, right], axis=2)
+
+    lb = jnp.concatenate([pcol(xp, k, k - 1) for k in range(q, 0, -1)], axis=2)
+    rb = jnp.concatenate([pcol(xp, T - k, T - k - 1) for k in range(1, q + 1)], axis=2)
+
+    y = y.at[:, :q].add(conv(colext(top), ((0, e), (0, 0))))
+    y = y.at[:, S - q :].add(conv(colext(bot), ((e, 0), (0, 0))))
+    y = y.at[:, :, :q].add(conv(lb, ((q, q), (0, e))))
+    y = y.at[:, :, T - q :].add(conv(rb, ((q, q), (e, 0))))
+    return y
 
 
 def instance_norm_act_phases(

@@ -588,3 +588,48 @@ def test_patchgan_instance_batched_reads_equal(rng):
     p2 = disc.apply(params, x2)
     np.testing.assert_allclose(np.asarray(both[:2]), np.asarray(p1), atol=1e-5)
     np.testing.assert_allclose(np.asarray(both[2:]), np.asarray(p2), atol=1e-5)
+
+
+def test_reflect_conv_phases_composite_golden(rng):
+    """The composite reflect-pad+conv in phase space (interior conv + four
+    halo band convs) must equal the explicit pad-then-conv form exactly —
+    values, d-input and d-weight — for the k7/p3 shape the stems/heads
+    use, at several sizes including the smallest legal grid."""
+    from floodgan_tpu.ops.nn_ops import (
+        _reflect_conv_phases_composite,
+        conv2d_phase_to_phase,
+        reflect_pad_phases,
+        space_to_depth_phases,
+    )
+
+    for cin, S in ((9, 8), (5, 16), (64, 12)):
+        x = jnp.asarray(
+            rng.standard_normal((2, 2 * S, 2 * S, cin), dtype=np.float32) * 0.5
+        )
+        xp = space_to_depth_phases(x)
+        w = jnp.asarray(rng.standard_normal((7, 7, cin, 6), dtype=np.float32) * 0.1)
+        b = jnp.asarray(rng.standard_normal((6,), dtype=np.float32))
+
+        def explicit(xp_, w_):
+            hp = reflect_pad_phases(xp_, 3, cin)
+            return conv2d_phase_to_phase(hp, w_, padding=3, b=b, crop=2)
+
+        def composite(xp_, w_):
+            return _reflect_conv_phases_composite(xp_, w_, b, 3, cin)
+
+        want = explicit(xp, w)
+        got = composite(xp, w)
+        assert got.shape == want.shape == (2, S, S, 24)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4, err_msg=f"fwd cin={cin}"
+        )
+
+        g = jnp.asarray(rng.standard_normal(want.shape, dtype=np.float32))
+        dx_w, dw_w = jax.grad(lambda a, ww: jnp.sum(explicit(a, ww) * g), (0, 1))(xp, w)
+        dx_g, dw_g = jax.grad(lambda a, ww: jnp.sum(composite(a, ww) * g), (0, 1))(xp, w)
+        np.testing.assert_allclose(
+            np.asarray(dx_g), np.asarray(dx_w), atol=2e-4, err_msg=f"dx cin={cin}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(dw_g), np.asarray(dw_w), atol=2e-3, err_msg=f"dw cin={cin}"
+        )
