@@ -381,3 +381,50 @@ m.train_paired()
     finally:
         if p.poll() is None:
             p.kill()
+
+
+@pytest.mark.slow
+def test_cycle_phase_step_checkpoint_cross_layout(flood_fixture, monkeypatch):
+    """Cycle training under the fully phase-space step (FLOODGAN_CYCLE_PHASE=1,
+    the TPU default) must produce checkpoints interchangeable with the
+    image-space step: train one epoch phase-side (phase-major replay
+    buffers ride the checkpoint), then resume WITHOUT the flag — the
+    layout shim depth-to-space's the buffers — and train another epoch."""
+    from floodgan_tpu.api import Model
+
+    data_path, meta_dir = flood_fixture
+    monkeypatch.setenv("FLOODGAN_CYCLE_PHASE", "1")
+    m = Model(
+        model="CycleGAN", dataset_subset="hurricane-harvey", dataset_dem="same",
+        data_path=data_path, num_epochs=1, topography="dem", resize=None,
+        save_model_interval=1, verbose=True, metadata_dir=meta_dir,
+    )
+    assert m.trainer.phase_gen and m.trainer.phase_d
+    m.train_cycle()
+    assert len(m.all_losses["all_losses_pre_to_post_cycle"]) == 1
+    ckpts = glob.glob(f"{data_path}/models/CycleGAN_*epoch1*.ckpt")
+    assert len(ckpts) == 1
+
+    monkeypatch.delenv("FLOODGAN_CYCLE_PHASE")
+    resumed = Model(
+        dataset_subset="hurricane-harvey", dataset_dem="same",
+        data_path=data_path, load_pretrained_model=True,
+        pretrained_model_path=ckpts[0], training_model=True,
+        verbose=True, metadata_dir=meta_dir, resize=None,
+    )
+    assert not resumed.trainer.phase_gen
+    # the phase-major buffers were depth-to-space'd back to image layout
+    assert (
+        resumed.state.pre_buffer.images.shape[-1]
+        == resumed.trainer.input_channels
+    )
+    # generator params round-trip exactly (same tree either layout)
+    a = jax.tree_util.tree_leaves(m.state.gen_params)
+    b = jax.tree_util.tree_leaves(resumed.state.gen_params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # num_epochs is the ABSOLUTE target epoch (reference semantics), so
+    # extend it to train one more epoch on the converted buffers.
+    resumed.num_epochs = 2
+    resumed.train_cycle()
+    assert len(resumed.all_losses["all_losses_pre_to_post_cycle"]) == 2
