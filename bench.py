@@ -111,9 +111,7 @@ def main() -> None:
     # input pipeline's prepare_batch stage — phase-major for the attention
     # phase step); the step-only measurement matches real training, where
     # the transform emits this layout.
-    prep = getattr(trainer, "prepare_batch", None)
-    if prep is not None:
-        x, y = prep(x, y)
+    x, y = trainer.prepare_batch(x, y)
 
     def step(state, i):
         return trainer.train_step(state, x, y, lr, jax.random.key(i))

@@ -361,8 +361,7 @@ class Model:
             x, y = batch["input"], batch["output"]
         # Layout prep (e.g. phase-major for the attention phase step) rides
         # the pipeline side of the step boundary — see PairedTrainer.prepare_batch.
-        prep = getattr(self.trainer, "prepare_batch", None)
-        return prep(x, y) if prep is not None else (x, y)
+        return self.trainer.prepare_batch(x, y)
 
     # ------------------------------------------------------------ training
 

@@ -89,9 +89,12 @@ class CycleGANGenerator(nn.Module):
         # (square, even output, half-res >= 128 profit floor): ConvTranspose2
         # emits subpixel phases directly, IN pools phase groups, and the k7
         # RGB head runs phase-to-phase.
+        from floodgan_tpu.core.flags import phase_head
+
         head_h = h.shape[1] * 4
         use_phase_head = (
             self.phase_output
+            and phase_head()  # same revert switch as the attention heads
             and h.shape[1] == h.shape[2]
             and head_h % 2 == 0
             and head_h // 2 >= 128

@@ -416,6 +416,14 @@ def reflect_conv_phases(
     convs + border DUS-adds run slower than the monolithic pad+conv, so
     CPU keeps the explicit form.  Values are identical (golden-tested,
     forward and grads)."""
+    # Domain check up front so the op's accepted shapes do not depend on
+    # the backend (the composite's band geometry is derived for odd pad
+    # with k = 2*pad+1 — the only shape the models use).
+    if pad % 2 == 0 or w.shape[0] != 2 * pad + 1 or w.shape[0] != w.shape[1]:
+        raise ValueError(
+            f"reflect_conv_phases derived for odd pad with square k = 2*pad+1 "
+            f"kernels (got k={w.shape[0]}x{w.shape[1]}, pad={pad})"
+        )
     if _custom_vjp() and jax.default_backend() != "cpu":
         return _reflect_conv_phases_composite(xp, w, b, pad, cin)
     hp = reflect_pad_phases(xp, pad, cin)

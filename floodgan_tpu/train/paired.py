@@ -150,7 +150,9 @@ class PairedTrainer:
         train_step accepts either layout, so callers may skip this."""
         from floodgan_tpu.ops.nn_ops import space_to_depth_phases
 
-        if self.phase_step and self.returns_mask and self.phase_stem:
+        # phase_stem (set in __init__) already implies phase_step and
+        # returns_mask — one predicate, one definition of eligibility.
+        if self.phase_stem:
             return (
                 space_to_depth_phases(input_stack),
                 space_to_depth_phases(output_image),

@@ -405,7 +405,9 @@ def test_cycle_phase_step_checkpoint_cross_layout(flood_fixture, monkeypatch):
     ckpts = glob.glob(f"{data_path}/models/CycleGAN_*epoch1*.ckpt")
     assert len(ckpts) == 1
 
-    monkeypatch.delenv("FLOODGAN_CYCLE_PHASE")
+    # explicit "0" (not delenv): with the env unset the default is
+    # backend-dependent (ON for TPU), and this resume must be image-layout
+    monkeypatch.setenv("FLOODGAN_CYCLE_PHASE", "0")
     resumed = Model(
         dataset_subset="hurricane-harvey", dataset_dem="same",
         data_path=data_path, load_pretrained_model=True,

@@ -89,9 +89,7 @@ def main() -> None:
 
     # Same layout real training feeds (pipeline-side prep, e.g. phase-major
     # for the attention phase step) so the profiled program is the bench one.
-    prep = getattr(trainer, "prepare_batch", None)
-    if prep is not None:
-        x, y = prep(x, y)
+    x, y = trainer.prepare_batch(x, y)
 
     def sync(metrics):
         return float(jax.device_get(next(iter(metrics.values()))))
