@@ -90,6 +90,19 @@ def flat_compose() -> bool:
     return os.environ.get("FLOODGAN_FLAT_COMPOSE", "0") == "1"
 
 
+def merged_deconv1() -> bool:
+    """Whether the attention generator's content and attention deconv1
+    (two ConvTranspose 256->128 over the SAME trunk output) run as ONE
+    conv pass with concatenated kernels (+ one instance norm over the
+    256 concatenated channels — per-channel statistics, so exactly the
+    two separate norms).  Reads the trunk output once instead of twice
+    and halves the stage's per-op overhead.  Opt-in pending an on-chip
+    measurement (the next sub-ms headline candidate per the round-3
+    accounting); parameters/checkpoints identical either way.
+    FLOODGAN_MERGED_DECONV1=1 enables."""
+    return os.environ.get("FLOODGAN_MERGED_DECONV1", "0") == "1"
+
+
 def custom_vjp_norms() -> bool:
     """Whether the norm/pad chains use the hand-derived closed-form VJPs
     (ops/fused_grads.py) instead of autodiff through the statistics

@@ -53,6 +53,37 @@ class AttentionGenerator(nn.Module):
     # BENCH_NOTES high-resolution study).  Parameters are identical.
     phase_input: bool = False
 
+    def _deconv1_pair(self, h, checkpoint_name):
+        """The content/attention deconv1 stages (ConvTranspose 256->128 +
+        IN/relu, both over the SAME trunk output).  Under
+        FLOODGAN_MERGED_DECONV1 (opt-in, awaiting on-chip measurement)
+        they run as ONE conv with concatenated kernels + one IN over the
+        256 concatenated channels — exactly the two separate stages,
+        since instance norm statistics are per-channel.  Parameter names,
+        shapes and init are identical either way (ConvTransposeParams)."""
+        from floodgan_tpu.core.flags import merged_deconv1
+        from floodgan_tpu.models.layers import ConvTransposeParams
+
+        if merged_deconv1():
+            w_c, b_c = ConvTransposeParams(128, 3, h.shape[-1], name="deconv1_content")()
+            w_a, b_a = ConvTransposeParams(128, 3, h.shape[-1], name="deconv1_attention")()
+            m = ops.conv_transpose2d(
+                h,
+                jnp.concatenate([w_c, w_a], axis=-1),
+                jnp.concatenate([b_c, b_a]),
+                stride=2, padding=1, output_padding=1,
+            )
+            m = ops.instance_norm_act(m, relu=True)
+            m = checkpoint_name(m, "seg_boundary")
+            return m[..., :128], m[..., 128:]
+        c = TorchConvTranspose(128, 3, 2, 1, output_padding=1, name="deconv1_content")(h)
+        c = ops.instance_norm_act(c, relu=True)
+        c = checkpoint_name(c, "seg_boundary")
+        a = TorchConvTranspose(128, 3, 2, 1, output_padding=1, name="deconv1_attention")(h)
+        a = ops.instance_norm_act(a, relu=True)
+        a = checkpoint_name(a, "seg_boundary")
+        return c, a
+
     @nn.compact
     def __call__(self, x) -> Tuple[jax.Array, jax.Array]:
         # Named remat boundaries: under segmented rematerialisation
@@ -109,14 +140,14 @@ class AttentionGenerator(nn.Module):
             and head_h // 2 >= 128  # same profit floor as _phasefold_eligible
         )
 
+        # deconv1 stage (content + attention, both reading the trunk
+        # output) — shared by the phase and image head branches.
+        c1, a1 = self._deconv1_pair(h, checkpoint_name)
+
         if use_phase_head:
-            S2 = head_h // 2
             # --- content head, phase space ---
-            c = TorchConvTranspose(128, 3, 2, 1, output_padding=1, name="deconv1_content")(h)
-            c = ops.instance_norm_act(c, relu=True)
-            c = checkpoint_name(c, "seg_boundary")
             cp = TorchConvTranspose(64, 3, 2, 1, output_padding=1, name="deconv2_content")(
-                c, phase_out=True
+                c1, phase_out=True
             )
             cp = instance_norm_act_phases(cp, relu=True)
             cp = checkpoint_name(cp, "seg_boundary")
@@ -124,11 +155,8 @@ class AttentionGenerator(nn.Module):
             content_r = ("phases", cp, head_h, head_h)
 
             # --- attention head, phase space ---
-            a = TorchConvTranspose(128, 3, 2, 1, output_padding=1, name="deconv1_attention")(h)
-            a = ops.instance_norm_act(a, relu=True)
-            a = checkpoint_name(a, "seg_boundary")
             ap = TorchConvTranspose(64, 3, 2, 1, output_padding=1, name="deconv2_attention")(
-                a, phase_out=True
+                a1, phase_out=True
             )
             ap = instance_norm_act_phases(ap, relu=True)
             ap = checkpoint_name(ap, "seg_boundary")
@@ -136,10 +164,7 @@ class AttentionGenerator(nn.Module):
             attn_r = ("phases", ap, head_h, head_h)
         else:
             # --- content head: 9 RGB content images ---
-            c = TorchConvTranspose(128, 3, 2, 1, output_padding=1, name="deconv1_content")(h)
-            c = ops.instance_norm_act(c, relu=True)
-            c = checkpoint_name(c, "seg_boundary")
-            c = TorchConvTranspose(64, 3, 2, 1, output_padding=1, name="deconv2_content")(c)
+            c = TorchConvTranspose(64, 3, 2, 1, output_padding=1, name="deconv2_content")(c1)
             c = ops.instance_norm_act(c, relu=True)
             c = checkpoint_name(c, "seg_boundary")
             c = ops.reflect_pad2d(c, 3)
@@ -147,10 +172,7 @@ class AttentionGenerator(nn.Module):
 
             # --- attention head: 10 mask logits (softmax inside the fused
             # composition, reference model_architectures.py:227-228) ---
-            a = TorchConvTranspose(128, 3, 2, 1, output_padding=1, name="deconv1_attention")(h)
-            a = ops.instance_norm_act(a, relu=True)
-            a = checkpoint_name(a, "seg_boundary")
-            a = TorchConvTranspose(64, 3, 2, 1, output_padding=1, name="deconv2_attention")(a)
+            a = TorchConvTranspose(64, 3, 2, 1, output_padding=1, name="deconv2_attention")(a1)
             a = ops.instance_norm_act(a, relu=True)
             a = checkpoint_name(a, "seg_boundary")
             attn_r = TorchConv(10, 1, 1, 0, name="deconv3_attention")(a, phases=True)

@@ -131,6 +131,32 @@ class TorchConvTranspose(nn.Module):
         )
 
 
+class ConvTransposeParams(nn.Module):
+    """Parameter twin of TorchConvTranspose: declares the SAME weight/bias
+    (names, shapes, init) without computing anything — for callers that
+    fuse several deconvs over one input into a single conv pass (e.g. the
+    attention generator's merged content/attention deconv1).  Checkpoints
+    are interchangeable with TorchConvTranspose by construction."""
+
+    features: int
+    kernel: int
+    in_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        w = self.param(
+            "weight", conv_init,
+            (self.kernel, self.kernel, self.in_features, self.features),
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return w, b
+
+
 class TorchBatchNorm(nn.Module):
     """nn.BatchNorm2d twin, permanently in training mode (batch statistics).
 

@@ -633,3 +633,23 @@ def test_reflect_conv_phases_composite_golden(rng):
         np.testing.assert_allclose(
             np.asarray(dw_g), np.asarray(dw_w), atol=2e-3, err_msg=f"dw cin={cin}"
         )
+
+
+def test_merged_deconv1_matches_separate(rng, monkeypatch):
+    """FLOODGAN_MERGED_DECONV1 (one conv pass with concatenated kernels +
+    one per-channel IN) must equal the two separate deconv1 stages under
+    shared parameters — param trees identical by construction."""
+    from floodgan_tpu.models.attention import AttentionGenerator
+
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 9), dtype=np.float32) * 0.3)
+    g = AttentionGenerator(input_channels=9)
+    params = g.init({"params": jax.random.key(2)}, x)["params"]
+    out0, mask0 = g.apply({"params": params}, x)
+
+    monkeypatch.setenv("FLOODGAN_MERGED_DECONV1", "1")
+    pm = g.init({"params": jax.random.key(2)}, x)["params"]
+    # identical parameter trees (names, shapes) across the two lowerings
+    assert jax.tree_util.tree_structure(pm) == jax.tree_util.tree_structure(params)
+    out1, mask1 = g.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mask1), np.asarray(mask0), atol=1e-5)
