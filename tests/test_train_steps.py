@@ -653,3 +653,28 @@ def test_merged_deconv1_matches_separate(rng, monkeypatch):
     out1, mask1 = g.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out0), atol=1e-5)
     np.testing.assert_allclose(np.asarray(mask1), np.asarray(mask0), atol=1e-5)
+
+
+def test_reflect_conv_phases_composite_under_vmap(rng):
+    """The cycle step applies the phase generators under vmap
+    (gen_apply_pair), so the composite reflect-conv must batch correctly:
+    vmapped-over-params application == per-sample applications."""
+    from floodgan_tpu.ops.nn_ops import (
+        _reflect_conv_phases_composite,
+        space_to_depth_phases,
+    )
+
+    cin, S = 9, 8
+    x2 = jnp.asarray(rng.standard_normal((2, 1, 2 * S, 2 * S, cin), dtype=np.float32))
+    xp2 = jax.vmap(space_to_depth_phases)(x2)
+    w2 = jnp.asarray(rng.standard_normal((2, 7, 7, cin, 6), dtype=np.float32) * 0.1)
+    b2 = jnp.asarray(rng.standard_normal((2, 6), dtype=np.float32))
+
+    got = jax.vmap(lambda xp, w, b: _reflect_conv_phases_composite(xp, w, b, 3, cin))(
+        xp2, w2, b2
+    )
+    for g in range(2):
+        want = _reflect_conv_phases_composite(xp2[g], w2[g], b2[g], 3, cin)
+        np.testing.assert_allclose(
+            np.asarray(got[g]), np.asarray(want), atol=1e-5, err_msg=f"group {g}"
+        )
