@@ -158,7 +158,8 @@ class ModelsGroup:
 
                 y01 = denormalize(y)
                 out01 = denormalize(out)
-                ms_ok = min(out01.shape[1], out01.shape[2]) > 160
+                # true bound 11*2^4 = 176 (see Model.calculate_metrics)
+                ms_ok = min(out01.shape[1], out01.shape[2]) >= 176
                 imgm = jax.device_get(image_pair_metrics(out01, y01, with_ms_ssim=ms_ok))
                 per_image["PSNR"][name].extend(imgm["PSNR"].tolist())
                 per_image["SSIM"][name].extend(imgm["SSIM"].tolist())

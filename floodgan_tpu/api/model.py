@@ -559,14 +559,17 @@ class Model:
             inference_time = time.time() - start
             y01 = denormalize(y)
             out01 = denormalize(out)
-            # MS-SSIM needs >160px spatial dims (5 scales x 11-tap kernel),
-            # same constraint torchmetrics enforces (it raises; we NaN the
-            # column and say so once instead of failing the whole eval).
-            ms_ok = min(out01.shape[1], out01.shape[2]) > 160
+            # MS-SSIM needs >=176px spatial dims: after 4 floor-halvings
+            # the scale-5 map must still fit the 11-tap VALID kernel
+            # (11 * 2^4 = 176).  NB torchmetrics' own guard is the weaker
+            # (kernel-1)*2^4 = 160, under which 161-175px inputs reach an
+            # empty valid conv; we guard at the true bound and NaN the
+            # column with one warning instead of failing the whole eval.
+            ms_ok = min(out01.shape[1], out01.shape[2]) >= 176
             if not ms_ok and not getattr(self, "_ms_ssim_warned", False):
                 print(
                     f"WARNING: images are {out01.shape[1]}x{out01.shape[2]} "
-                    "after resize/crop — MS-SSIM requires >160px per side "
+                    "after resize/crop — MS-SSIM requires >=176px per side "
                     "(5 dyadic scales x 11-tap kernel); the MS-SSIM column "
                     "will be NaN for this run."
                 )

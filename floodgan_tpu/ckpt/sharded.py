@@ -21,10 +21,15 @@ single-file schema extends to — the logical schema (meta header + state
 tree) is unchanged, so ``meta.json`` carries the same self-describing
 fields as the single-file format.
 
-Restore is collective: every process reads the manifest, loads only the
-shard files, and assembles global ``jax.Array``s with
-``make_array_from_single_device_arrays`` against the target sharding —
-no full-state host copy on any process when the state is sharded.
+Restore is collective: every process reads the manifest plus the shard
+files and assembles global ``jax.Array``s with
+``make_array_from_callback`` against the target sharding; the callback
+materializes only the REQUESTED region from the stored pieces, so no
+process ever holds a full-state host copy when the state is sharded.
+Coverage is validated exactly (missing or duplicated shard files raise
+instead of restoring uninitialized memory), and stale ``shards_p*``
+files from a previous larger topology are filtered by the recorded
+process count (and cleaned by the next save).
 """
 
 from __future__ import annotations
@@ -148,6 +153,21 @@ def save_checkpoint_sharded(
                 f,
             )
         os.replace(tmp, meta_path)
+        # Remove stale shard files from a previous, LARGER topology saved
+        # into the same directory — load reads every shards_p* present,
+        # and stale pieces applied over fresh ones would silently mix old
+        # parameter bytes into the restore.  Only indices >= the current
+        # process count are stale (no live process writes them), so this
+        # cannot race the other processes' writes.
+        n = jax.process_count()
+        for fname in os.listdir(ckpt_dir):
+            if fname.startswith("shards_p") and fname.endswith(".msgpack"):
+                try:
+                    i = int(fname[len("shards_p") : -len(".msgpack")])
+                except ValueError:
+                    continue
+                if i >= n:
+                    os.remove(os.path.join(ckpt_dir, fname))
 
 
 def load_checkpoint_sharded(
@@ -166,38 +186,100 @@ def load_checkpoint_sharded(
     with open(os.path.join(ckpt_dir, "meta.json")) as f:
         header = json.load(f)
     manifest = header["manifest"]
+    saved_procs = header.get("process_count")
 
-    # read every shard file present (restore topology may differ)
+    # Read the shard files the save actually wrote (restore topology may
+    # differ — files are addressed by leaf path, not by process).  Filter
+    # by the recorded process count so stale shards_p{i} files from an
+    # earlier, larger topology in a reused directory are never applied.
     pieces: Dict[str, list] = {}
     for fname in sorted(os.listdir(ckpt_dir)):
         if not (fname.startswith("shards_p") and fname.endswith(".msgpack")):
+            continue
+        try:
+            i = int(fname[len("shards_p") : -len(".msgpack")])
+        except ValueError:
+            continue
+        if saved_procs is not None and i >= saved_procs:
             continue
         with open(os.path.join(ckpt_dir, fname), "rb") as f:
             for path, entries in msgpack.unpackb(f.read()).items():
                 pieces.setdefault(path, []).extend(entries)
 
-    flat: Dict[str, Any] = {}
+    # Coverage validation: the writer's replica-0 ownership makes pieces
+    # disjoint, so the element counts must sum EXACTLY to each leaf's
+    # size.  A missing shard file (partial copy, crashed save) or a
+    # duplicated piece otherwise restores silently corrupt values — the
+    # np.empty regions below are uninitialized memory.
+    for path, info in manifest.items():
+        total = int(np.prod(info["shape"], dtype=np.int64)) if info["shape"] else 1
+        got = sum(
+            int(np.prod([b - a for a, b in entry["index"]], dtype=np.int64))
+            if entry["index"]
+            else 1
+            for entry in pieces.get(path, [])
+        )
+        if got != total:
+            raise ValueError(
+                f"sharded checkpoint {ckpt_dir} does not exactly cover leaf "
+                f"'{path}': {got}/{total} elements present — shard files are "
+                "missing (partial copy / crashed save) or duplicated"
+            )
+
+    def assemble(path: str, starts, stops, dtype):
+        """Materialize one requested region of a leaf from its pieces —
+        per-slice, so the sharded restore path never allocates the full
+        global leaf on any host (the module's stated design goal)."""
+        out = np.empty([b - a for a, b in zip(starts, stops)], dtype)
+        for entry in pieces.get(path, []):
+            e = entry["index"]
+            inter = [
+                (max(ea, ra), min(eb, rb))
+                for (ea, eb), ra, rb in zip(e, starts, stops)
+            ]
+            if any(a >= b for a, b in inter):
+                continue
+            block = np.frombuffer(entry["data"], dtype).reshape(
+                [b - a for a, b in e]
+            )
+            src = tuple(
+                slice(a - ea, b - ea) for (a, b), (ea, _eb) in zip(inter, e)
+            )
+            dst = tuple(
+                slice(a - ra, b - ra) for (a, b), ra in zip(inter, starts)
+            )
+            out[dst] = block[src]
+        return out
+
+    if shardings is None:
+        # single-process convenience path: full host assembly onto the
+        # template via from_state_dict
+        flat: Dict[str, Any] = {}
+        for path, info in manifest.items():
+            shape = tuple(info["shape"])
+            dtype = np.dtype(info["dtype"])
+            flat[path] = assemble(path, (0,) * len(shape), shape, dtype).reshape(shape)
+        return header["meta"], serialization.from_state_dict(template, _unflatten(flat))
+
+    # Sharded path: every leaf becomes a jax.Array via
+    # make_array_from_callback, and the callback assembles ONLY the
+    # requested region — restore peak host memory is this process's
+    # addressable shards, not the full state.
+    flat_shardings = _flatten_with_paths(shardings)
+    flat = {}
     for path, info in manifest.items():
         shape = tuple(info["shape"])
         dtype = np.dtype(info["dtype"])
-        out = np.empty(shape, dtype)
-        for entry in pieces.get(path, []):
-            idx = tuple(slice(a, b) for a, b in entry["index"])
-            block = np.frombuffer(entry["data"], dtype).reshape(
-                tuple(b - a for a, b in entry["index"])
-            )
-            out[idx] = block
-        flat[path] = out
+        s = flat_shardings[path]
 
-    raw = _unflatten(flat)
-    state = serialization.from_state_dict(template, raw)
-    if shardings is not None:
-        # make_array_from_callback touches only this process's addressable
-        # shards, so the same call works single-process and on a
-        # multi-process (jax.distributed) CPU/TPU topology.
-        def put(leaf, s):
-            arr = np.asarray(leaf)
-            return jax.make_array_from_callback(arr.shape, s, lambda idx: arr[idx])
+        def cb(idx, _p=path, _shape=shape, _dt=dtype):
+            starts = [0 if sl.start is None else int(sl.start) for sl in idx]
+            stops = [
+                _shape[d] if sl.stop is None else int(sl.stop)
+                for d, sl in enumerate(idx)
+            ]
+            return assemble(_p, starts, stops, _dt)
 
-        state = jax.tree_util.tree_map(put, state, shardings)
+        flat[path] = jax.make_array_from_callback(shape, s, cb)
+    state = serialization.from_state_dict(template, _unflatten(flat))
     return header["meta"], state

@@ -34,13 +34,20 @@ def _load() -> Optional[ctypes.CDLL]:
         if os.environ.get("FLOODGAN_DISABLE_NATIVE"):
             return None
         try:
-            if not os.path.isfile(_LIB_PATH):
+            try:
+                # make is mtime-incremental: a no-op when the .so is
+                # current, a rebuild when tiff_decoder.cpp changed (an
+                # existence-only check would keep loading a stale binary).
                 subprocess.run(
                     ["make", "-C", _NATIVE_DIR],
                     check=True,
                     capture_output=True,
                     timeout=120,
                 )
+            except Exception:
+                if not os.path.isfile(_LIB_PATH):
+                    raise  # no toolchain AND no prebuilt library
+                # toolchain unavailable but a prebuilt .so exists: use it
             lib = ctypes.CDLL(_LIB_PATH)
             lib.floodgan_decode_batch.restype = ctypes.c_int
             lib.floodgan_decode_batch.argtypes = [

@@ -152,7 +152,18 @@ def imread(path: Union[str, "BinaryIO"]) -> np.ndarray:
             length, width, spp
         )
         if predictor == 2:
+            # horizontal differencing is defined for INTEGER samples
+            # (predictor 3 is the float variant) — int64 cumsum on float
+            # payloads would silently truncate fractions
+            if dt.kind == "f":
+                raise NotImplementedError(
+                    "TIFF predictor 2 on floating-point samples not supported"
+                )
             arr = np.cumsum(arr.astype(np.int64), axis=1).astype(dt).reshape(length, width, spp)
+        elif predictor != 1:
+            # e.g. predictor 3 (floating-point differencing): raise loudly
+            # like unsupported compression, never decode garbage silently
+            raise NotImplementedError(f"TIFF predictor {predictor} not supported")
         arr = arr.astype(arr.dtype.newbyteorder("="))
         if spp == 1:
             return arr[:, :, 0]

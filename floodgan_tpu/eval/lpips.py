@@ -155,12 +155,24 @@ def load_lpips(weights_path: Optional[str] = None) -> Optional[LPIPS]:
     ]
     for path in candidates:
         if path and os.path.isfile(path):
-            return LPIPS(dict(np.load(path)))
+            try:
+                return LPIPS(dict(np.load(path)))
+            except Exception as e:
+                if path == weights_path:
+                    raise  # an explicit path must not be silently skipped
+                # e.g. an npz truncated by an interrupted export: skip it
+                # (and say so) instead of crashing every future eval
+                warnings.warn(f"skipping unreadable LPIPS weights {path}: {e}")
     try:  # networked dev machine with `pip install lpips`: convert once
         from floodgan_tpu.utils.export_lpips import export
 
         os.makedirs(os.path.dirname(_asset_path()), exist_ok=True)
-        export(_asset_path())
+        # atomic: a crash mid-export must not leave a half-written npz
+        # that every later load finds via isfile (same tmp+replace pattern
+        # as ckpt/checkpoint.py)
+        tmp = _asset_path() + ".tmp.npz"
+        export(tmp)
+        os.replace(tmp, _asset_path())
         return LPIPS(dict(np.load(_asset_path())))
     except Exception:
         pass

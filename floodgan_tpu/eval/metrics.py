@@ -107,8 +107,13 @@ def ms_ssim(
     betas: Tuple[float, ...] = _MSSSIM_BETAS,
     normalize: bool = True,
 ) -> jax.Array:
-    """Per-image multi-scale SSIM, NHWC inputs (min spatial dim must exceed
-    (kernel_size-1) * 2**(len(betas)-1) like torchmetrics requires)."""
+    """Per-image multi-scale SSIM, NHWC inputs.  The min spatial dim must
+    be >= kernel_size * 2**(len(betas)-1) (176 for the defaults) so the
+    final scale's VALID gaussian window still fits after the floor-halving
+    downsamples; NB torchmetrics' own documented bound,
+    (kernel_size-1) * 2**(len(betas)-1) = 160, is too weak — 161-175px
+    inputs reach an empty valid conv at scale 5.  Callers guard with the
+    true bound and NaN the column below it."""
     vals = []
     for i in range(len(betas)):
         s, cs = _ssim_and_cs(pred, target, data_range, kernel_size, sigma)

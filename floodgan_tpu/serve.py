@@ -169,6 +169,21 @@ class InferenceEngine:
 
 # ===================================================== dynamic micro-batching
 
+def _fut_deliver(fut: Future, result=None, exc=None) -> None:
+    """Deliver a result/exception to a waiter's Future, tolerating futures
+    a client CANCELLED after submit (legal Future API: cancel() on a
+    never-running future succeeds) — set_result on a cancelled future
+    raises InvalidStateError, and an uncaught exception here would kill
+    the batcher's worker thread and hang every later request forever."""
+    try:
+        if exc is not None:
+            fut.set_exception(exc)
+        else:
+            fut.set_result(result)
+    except Exception:
+        pass  # cancelled (or already resolved) waiter: nothing to deliver
+
+
 class BatchingFrontend:
     """Groups concurrent single-image requests into fixed-shape batches.
 
@@ -268,13 +283,13 @@ class BatchingFrontend:
             out = np.asarray(self.engine.predict(stacks))
         except Exception as e:  # surface device errors to every waiter
             for _, fut in group:
-                fut.set_exception(e)
+                _fut_deliver(fut, exc=e)
             return
         with self._lock:
             self.batches += 1
             self.batched_slots += len(group)
         for i, (_, fut) in enumerate(group):
-            fut.set_result(out[i])
+            _fut_deliver(fut, result=out[i])
 
 
 # ========================================================== multi-model serving
@@ -369,7 +384,14 @@ def serve_http(repo: ModelRepository, host: str = "127.0.0.1", port: int = 8000)
                 fe = repo.frontend(name)
             except KeyError as e:
                 return self._json(404, {"error": str(e)})
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                return self._json(400, {"error": "bad Content-Length header"})
+            if length < 0:
+                # -1 would make rfile.read block until client EOF (a
+                # handler thread hung forever); other negatives raise.
+                return self._json(400, {"error": "negative Content-Length"})
             # Bound the body before reading: N_max batches of the engine's
             # input shape (f64 worst case) plus npy header slack.  An
             # unbounded read would let one oversized request OOM the server

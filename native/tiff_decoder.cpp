@@ -29,6 +29,7 @@ constexpr int kTypeSizes[13] = {0, 1, 1, 2, 4, 8, 1, 1, 2, 4, 8, 4, 8};
 struct TiffInfo {
     uint32_t width = 0, height = 0;
     uint16_t spp = 1, bits = 8, compression = 1, sample_format = 1;
+    uint16_t predictor = 1, planar = 1;
     bool big_endian = false;
     std::vector<uint64_t> strip_offsets, strip_counts;
 };
@@ -103,6 +104,8 @@ bool parse_header(FILE* f, TiffInfo* info) {
             case 273: if (!values(e, &vals)) return false; info->strip_offsets = vals; break;
             case 277: if (!values(e, &vals) || vals.empty()) return false; info->spp = (uint16_t)vals[0]; break;
             case 279: if (!values(e, &vals)) return false; info->strip_counts = vals; break;
+            case 284: if (!values(e, &vals) || vals.empty()) return false; info->planar = (uint16_t)vals[0]; break;
+            case 317: if (!values(e, &vals) || vals.empty()) return false; info->predictor = (uint16_t)vals[0]; break;
             case 339: if (!values(e, &vals) || vals.empty()) return false; info->sample_format = (uint16_t)vals[0]; break;
             default: break;
         }
@@ -138,6 +141,11 @@ int decode_one(const std::string& path, float* out, int64_t out_h, int64_t out_w
     if (!parse_header(f, &info)) { std::fclose(f); return -3; }
     if ((int64_t)info.height != out_h || (int64_t)info.width != out_w ||
         (int64_t)info.spp != out_c) { std::fclose(f); return -5; }
+    // Predictor (317) and separate planes (284) are not implemented here;
+    // returning an error routes the file to the python twin (which handles
+    // predictor 2 and rejects planar != 1 loudly) instead of silently
+    // decoding differenced/interleaved bytes as pixels.
+    if (info.predictor != 1 || info.planar != 1) { std::fclose(f); return -9; }
 
     size_t bps = info.bits / 8;
     size_t total = (size_t)info.height * info.width * info.spp * bps;

@@ -233,3 +233,30 @@ def test_masks_loader_end_to_end(tmp_path):
     tr_all, v, t = create_masks_dataset("usa", data_path, True, metadata_dir=meta_dir)
     assert v is None and t is None
     assert len(tr_all.dataset) == 6
+
+
+def test_tiff_unsupported_predictor_raises(tmp_path):
+    """Predictor values other than 1/2 (e.g. 3, floating-point
+    differencing) must raise like unsupported compression does — never
+    silently decode differenced bytes as pixels."""
+    import struct
+    import zlib
+
+    from floodgan_tpu.data import tiff as ftiff
+
+    h = w = 4
+    payload = zlib.compress(np.zeros((h, w), np.uint8).tobytes())
+    # minimal little-endian TIFF with predictor=3 + deflate
+    entries = []
+    def e(tag, typ, count, value):
+        entries.append(struct.pack("<HHII", tag, typ, count, value))
+    data_off = 8 + 2 + 12 * 8 + 4
+    e(256, 3, 1, w); e(257, 3, 1, h); e(258, 3, 1, 8); e(259, 3, 1, 8)
+    e(273, 4, 1, data_off); e(277, 3, 1, 1); e(279, 4, 1, len(payload))
+    e(317, 3, 1, 3)
+    buf = b"II" + struct.pack("<HI", 42, 8) + struct.pack("<H", len(entries))
+    buf += b"".join(entries) + struct.pack("<I", 0) + payload
+    p = tmp_path / "pred3.tif"
+    p.write_bytes(buf)
+    with pytest.raises(NotImplementedError, match="predictor"):
+        ftiff.imread(str(p))

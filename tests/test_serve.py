@@ -204,3 +204,45 @@ def test_batching_frontend_close_drains_queue(tiny_engine, rng):
     with pytest.raises(RuntimeError):
         fe.submit(stacks[0])
     fe.close()  # idempotent
+
+
+def test_batching_frontend_survives_cancelled_future(tiny_engine, rng):
+    """A waiter that cancels its Future after submit must not kill the
+    worker thread (set_result on a cancelled future raises
+    InvalidStateError) — later requests still resolve."""
+    from floodgan_tpu.serve import BatchingFrontend
+
+    fe = BatchingFrontend(tiny_engine, max_delay_ms=20.0)
+    doomed = fe.submit(rng.random((32, 32, 9), dtype=np.float32))
+    assert doomed.cancel()  # never-running future: cancel succeeds
+    ok = fe.submit(rng.random((32, 32, 9), dtype=np.float32))
+    assert ok.result(timeout=60).shape == (32, 32, 3)
+    fe.close()
+
+
+def test_http_negative_content_length_rejected(tiny_engine):
+    """'Content-Length: -1' must get a 400, not an unbounded rfile.read
+    that hangs the handler thread until client EOF."""
+    import socket as sk
+    import threading
+
+    from floodgan_tpu.serve import ModelRepository, serve_http
+
+    repo = ModelRepository()
+    repo.add("flood", tiny_engine)
+    server = serve_http(repo, host="127.0.0.1", port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = sk.create_connection(
+            ("127.0.0.1", server.server_address[1]), timeout=30
+        )
+        conn.sendall(
+            b"POST /v1/models/flood:predict HTTP/1.1\r\nHost: t\r\n"
+            b"Content-Length: -1\r\n\r\n"
+        )
+        status = conn.recv(1024).decode(errors="replace").splitlines()[0]
+        conn.close()
+        assert " 400 " in status, status
+    finally:
+        server.shutdown()
+        repo.close()

@@ -112,3 +112,76 @@ def test_trainer_state_round_trip(tmp_path):
     assert len(ref_leaves) == len(new_leaves)
     for a, b in zip(ref_leaves, new_leaves):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_missing_shard_file_raises(tmp_path):
+    """Restore must REFUSE a directory whose shard files don't exactly
+    cover every leaf (partial copy / crashed save) — np.empty regions
+    would otherwise bind uninitialized memory as parameters."""
+    mesh = make_mesh(8, spatial=2)
+    state = _state(mesh)
+    d = os.fspath(tmp_path / "ck")
+    save_checkpoint_sharded(d, {"epoch": 1}, state)
+    # simulate a partial copy: drop one shard file that holds real data
+    victims = [f for f in os.listdir(d) if f.startswith("shards_p")]
+    assert victims
+    os.remove(os.path.join(d, sorted(victims)[0]))
+    with pytest.raises(ValueError, match="cover"):
+        load_checkpoint_sharded(d, state)
+
+
+def test_stale_shards_from_larger_topology_ignored_and_cleaned(tmp_path):
+    """A reused checkpoint dir with shards_p{i} files beyond the recorded
+    process count must ignore them on load; a fresh save cleans them."""
+    mesh = make_mesh(8, spatial=2)
+    state = _state(mesh)
+    d = os.fspath(tmp_path / "ck")
+    save_checkpoint_sharded(d, {"epoch": 1}, state)
+    # plant a stale file from a fictitious larger topology with garbage
+    # that would corrupt 'params/w' if applied
+    import msgpack
+
+    garbage = {
+        "params/w": [
+            {
+                "index": [[0, 3], [0, 4]],
+                "data": np.full((3, 4), -99.0, np.float32).tobytes(),
+            }
+        ]
+    }
+    stale = os.path.join(d, "shards_p7.msgpack")
+    with open(stale, "wb") as f:
+        f.write(msgpack.packb(garbage))
+    meta, restored = load_checkpoint_sharded(d, state)
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]), np.arange(12.0).reshape(3, 4)
+    )
+    # a fresh save into the same dir removes the stale file
+    save_checkpoint_sharded(d, {"epoch": 2}, state)
+    assert not os.path.exists(stale)
+
+
+def test_sharded_restore_assembles_requested_regions(tmp_path):
+    """The sharded restore path materializes leaves through per-region
+    callbacks; values must match the saved state exactly for sharded AND
+    replicated leaves."""
+    mesh = make_mesh(8, spatial=2)
+    state = _state(mesh)
+    d = os.fspath(tmp_path / "ck")
+    save_checkpoint_sharded(d, {"epoch": 1}, state)
+    rep = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data", "spatial"))
+    shardings = {
+        "params": {"w": rep, "b": rep},
+        "buffer": shard,
+        "step": rep,
+    }
+    meta, restored = load_checkpoint_sharded(d, state, shardings)
+    assert meta["epoch"] == 1
+    np.testing.assert_array_equal(
+        np.asarray(restored["buffer"]),
+        np.arange(4 * 2 * 5, dtype=np.float32).reshape(4, 2, 5),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]), np.arange(12.0).reshape(3, 4)
+    )
