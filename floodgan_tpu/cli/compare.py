@@ -73,6 +73,8 @@ def main(argv=None) -> None:
             "None": args.none_topography_path,
         }
     elif args.compare == "two":
+        if not (args.model_1_path and args.model_2_path):
+            raise ValueError("Paths to both models must be provided.")
         paths = {"Model 1": args.model_1_path, "Model 2": args.model_2_path}
     else:
         raise NotImplementedError("Comparisons must be made between 'models' 'topography' or 'two'")

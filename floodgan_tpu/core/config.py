@@ -66,7 +66,14 @@ def prettify_model_name(model: str) -> str:
 
 @dataclasses.dataclass
 class ModelConfig:
-    """GAN model + dataset configuration (reference models/model.py:30-46)."""
+    """GAN model + dataset configuration (reference models/model.py:30-46).
+
+    A typed VALIDATION surface (model-name/topography checks shared with
+    api.Model), not the CLI's transport: cli/train.py passes argparse
+    kwargs to api.Model directly, and Model.__init__ additionally accepts
+    operational extensions (num_spatial_devices, metadata_dir,
+    lpips_weights, remat, async_checkpoint) that are deliberately not
+    mirrored here."""
 
     model: str = "pix2pix"
     dataset_subset: str = "all"

@@ -1,26 +1,38 @@
 """Runtime feature flags.
 
-``use_pallas()`` controls whether the models route their fusion-bound ops
-(instance norm chains, the attention composition head) through the Pallas
-TPU kernels in ops/pallas_kernels.py.  Default: on when the default JAX
-backend is a TPU-class platform, off on CPU (where the jnp paths are what
-XLA compiles best and unit tests pin numerics).  Override with
-FLOODGAN_PALLAS=0/1.
+Every flag here was DEFAULTED BY MEASUREMENT on a real v5e chip (the
+measurement for each lives in BENCH_NOTES.md; the README's performance
+table summarizes them).  All boolean flags accept the same value
+conventions: 1/true/on/yes enable, 0/false/off/no/"" disable
+(case-insensitive), so e.g. FLOODGAN_PHASE_HEAD=off and
+FLOODGAN_CUSTOM_VJP=off behave consistently.
 """
 
 from __future__ import annotations
 
 import os
 
-import jax
-
-# Real TPU runtimes only: the axon dev tunnel's remote-compile path stalls
-# on pallas_call lowering (observed: single-kernel compiles exceeding 10
-# minutes and wedging the device grant), so it is opt-in there via
-# FLOODGAN_PALLAS=1.
-_TPU_PLATFORMS = ("tpu",)
-
 _PALLAS_KERNELS = {"in", "compose"}
+
+_TRUTHY = ("1", "true", "on", "yes")
+_FALSY = ("0", "false", "off", "no", "")
+
+
+def _env_bool(name: str, default: bool) -> bool:
+    """Parse a boolean env flag with one shared convention; unknown values
+    raise rather than silently flipping a measured default."""
+    env = os.environ.get(name)
+    if env is None:
+        return default
+    v = env.lower()
+    if v in _TRUTHY:
+        return True
+    if v in _FALSY:
+        return False
+    raise ValueError(
+        f"{name}: unrecognized value {env!r}; expected one of "
+        f"{_TRUTHY + _FALSY}"
+    )
 
 
 def use_pallas(which: str = "") -> bool:
@@ -70,7 +82,7 @@ def phase_head() -> bool:
     ConvTranspose (4.4 vs 5.6 ms dilated / 4-conv split).  The full
     content-head chain now measures 23.7 ms phase vs 27.3 image-space.
     FLOODGAN_PHASE_HEAD=0 reverts to the image-space decoder heads."""
-    return os.environ.get("FLOODGAN_PHASE_HEAD", "1") != "0"
+    return _env_bool("FLOODGAN_PHASE_HEAD", True)
 
 
 def flat_compose() -> bool:
@@ -87,7 +99,7 @@ def flat_compose() -> bool:
     and broadcast chains add real critical-path time.
     FLOODGAN_FLAT_COMPOSE=1 enables for re-measurement on other
     hardware/XLA versions."""
-    return os.environ.get("FLOODGAN_FLAT_COMPOSE", "0") == "1"
+    return _env_bool("FLOODGAN_FLAT_COMPOSE", False)
 
 
 def merged_deconv1() -> bool:
@@ -100,7 +112,7 @@ def merged_deconv1() -> bool:
     measurement (the next sub-ms headline candidate per the round-3
     accounting); parameters/checkpoints identical either way.
     FLOODGAN_MERGED_DECONV1=1 enables."""
-    return os.environ.get("FLOODGAN_MERGED_DECONV1", "0") == "1"
+    return _env_bool("FLOODGAN_MERGED_DECONV1", False)
 
 
 def custom_vjp_norms() -> bool:
@@ -108,9 +120,7 @@ def custom_vjp_norms() -> bool:
     (ops/fused_grads.py) instead of autodiff through the statistics
     formulas.  Forward numerics are identical; the backward is the same
     math with fewer passes over HBM.  FLOODGAN_CUSTOM_VJP=0 reverts."""
-    return os.environ.get("FLOODGAN_CUSTOM_VJP", "1").lower() not in (
-        "0", "false", "off", "no", "",
-    )
+    return _env_bool("FLOODGAN_CUSTOM_VJP", True)
 
 
 def norm_arith_bf16() -> bool:
@@ -118,6 +128,4 @@ def norm_arith_bf16() -> bool:
     activation dtype under the bf16 policy (statistics are always f32).
     Measured ≥ the f32 chain on v5e (BENCH_NOTES round 2);
     FLOODGAN_NORM_BF16=0 forces the f32 chain."""
-    return os.environ.get("FLOODGAN_NORM_BF16", "1").lower() not in (
-        "0", "false", "off", "no", "",
-    )
+    return _env_bool("FLOODGAN_NORM_BF16", True)

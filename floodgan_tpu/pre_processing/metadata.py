@@ -18,6 +18,16 @@ import pandas as pd
 from floodgan_tpu.data import tiff
 
 
+def _wkt_polygon(x_min: float, y_min: float, x_max: float, y_max: float) -> str:
+    """Valid WKT bbox polygon: a CLOSED ring (first point repeated last)
+    wrapped in the double parentheses WKT consumers (shapely, PostGIS,
+    ogr) require."""
+    return (
+        f"POLYGON (({x_min} {y_min}, {x_min} {y_max}, "
+        f"{x_max} {y_max}, {x_max} {y_min}, {x_min} {y_min}))"
+    )
+
+
 def create_metadata(image_dir: str, out_csv: str, extend_degrees: float = 0.002) -> pd.DataFrame:
     """Geo-extent table for every pre-disaster GeoTIFF in ``image_dir``:
     bounding box from the GeoTIFF transform plus an extended x_max and a
@@ -27,16 +37,17 @@ def create_metadata(image_dir: str, out_csv: str, extend_degrees: float = 0.002)
         if not name.endswith((".tif", ".tiff")):
             continue
         path = os.path.join(image_dir, name)
-        arr = tiff.imread(path)
-        h, w = arr.shape[:2]
+        # height/width straight from the IFD tags (256/257) — decoding the
+        # whole raster for its shape made metadata generation orders of
+        # magnitude slower than the single tag read it needs
+        info = tiff.read_tags(path)
+        w = int(info[256][0]) if isinstance(info[256], (list, tuple)) else int(info[256])
+        h = int(info[257][0]) if isinstance(info[257], (list, tuple)) else int(info[257])
         x_min, y_max, px_w, px_h = tiff.geotransform(path)
         x_max = x_min + w * px_w
         y_min = y_max - h * px_h
         image = os.path.splitext(name)[0]
-        polygon = (
-            f"POLYGON (({x_min} {y_min}, {x_min} {y_max}, "
-            f"{x_max} {y_max}, {x_max} {y_min}"
-        )
+        polygon = _wkt_polygon(x_min, y_min, x_max, y_max)
         rows.append(
             dict(
                 image=image,

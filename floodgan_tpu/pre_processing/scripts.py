@@ -72,10 +72,15 @@ def emit_maperitive_script(
 
 
 def emit_georeference_script(
-    extents: Mapping[str, tuple], png_dir: str, out_dir: str, script_path: str
+    extents: Mapping[str, tuple], png_dir: str, out_dir: str, script_path: str,
+    size: int = 1024,
 ) -> str:
     """gdal_translate GCP anchoring + gdalwarp with alpha (reference
-    :233-243)."""
+    :233-243).  ``size`` is the rendered PNG's pixel extent and MUST match
+    the height passed to :func:`emit_maperitive_script` (the reference
+    renders square 1024px tiles; Maperitive preserves aspect ratio, so
+    non-square bboxes need per-image pixel sizes — out of scope here, as
+    in the reference)."""
     lines = []
     for image, (x_min, y_min, x_max, y_max) in extents.items():
         png = os.path.join(png_dir, f"{image}.png")
@@ -83,8 +88,8 @@ def emit_georeference_script(
         out = os.path.join(out_dir, f"{image}.tif")
         lines.append(
             f'gdal_translate -of GTiff -a_srs EPSG:4326 '
-            f'-gcp 0 0 {x_min} {y_max} -gcp 1024 0 {x_max} {y_max} '
-            f'-gcp 1024 1024 {x_max} {y_min} "{png}" "{tmp}"'
+            f'-gcp 0 0 {x_min} {y_max} -gcp {size} 0 {x_max} {y_max} '
+            f'-gcp {size} {size} {x_max} {y_min} "{png}" "{tmp}"'
         )
         lines.append(f'gdalwarp -t_srs EPSG:4326 -dstalpha "{tmp}" "{out}"')
     return _write_script(script_path, lines)

@@ -128,8 +128,10 @@ class CycleTrainer:
         # tensors that pad 9 -> 128 lanes (14x) never materialise on the
         # D side, and the buffers store at 128/(4*9) = 3.6x padding
         # instead.  Same values, same replay policy, same parameters.
+        from floodgan_tpu.core.flags import _env_bool
+
         if phase_d is None:
-            phase_d = os.environ.get("FLOODGAN_CYCLE_PHASE_D") == "1"
+            phase_d = _env_bool("FLOODGAN_CYCLE_PHASE_D", False)
         self.phase_d = bool(phase_d)
         self.model = model
         # Fully phase-space cycle step (FLOODGAN_CYCLE_PHASE): BOTH
@@ -152,13 +154,12 @@ class CycleTrainer:
         # dryrun's 40 s collective-rendezvous watchdog.
         # FLOODGAN_CYCLE_PHASE=0/1 overrides either way.
         if phase_gen is None:
-            env = os.environ.get("FLOODGAN_CYCLE_PHASE")
-            if env is None:
+            if os.environ.get("FLOODGAN_CYCLE_PHASE") is None:
                 import jax as _jax
 
                 phase_gen = _jax.default_backend() != "cpu"
             else:
-                phase_gen = env == "1"
+                phase_gen = _env_bool("FLOODGAN_CYCLE_PHASE", False)
         self.phase_gen = bool(phase_gen)
         if self.phase_gen:
             self.phase_d = True

@@ -57,8 +57,6 @@ class PairedTrainer:
         remat: bool = False,
         phase_step: bool = None,
     ):
-        import os
-
         self.model = model
         self.cfg = cfg
         self.generator = build_generator(model, input_channels, dropout_rate)
@@ -74,12 +72,14 @@ class PairedTrainer:
         # equivalence pinned in tests/test_train_steps.py).  Measured
         # 46.9 -> 50.3 samples/s at 512^2 b8 on v5e — DEFAULT ON;
         # FLOODGAN_PHASE_STEP=0 restores the image-space step.
+        from floodgan_tpu.core.flags import _env_bool
+
         if phase_step is None:
             # Default ON everywhere: measured 46.9 -> 50.3 samples/s for
             # the attention family and 157 -> 174.4 for pix2pix (whose
             # U-Net still emits full-res; the phase win there is every
             # downstream consumer).  FLOODGAN_PHASE_STEP=0 reverts.
-            phase_step = os.environ.get("FLOODGAN_PHASE_STEP", "1") != "0"
+            phase_step = _env_bool("FLOODGAN_PHASE_STEP", True)
         self.phase_step = bool(phase_step)
         # Phase-space ENCODER (default ON for the attention family): the
         # generator consumes the phase-major input directly
@@ -92,7 +92,7 @@ class PairedTrainer:
         self.phase_stem = (
             self.phase_step
             and self.returns_mask
-            and os.environ.get("FLOODGAN_PHASE_STEM", "1") != "0"
+            and _env_bool("FLOODGAN_PHASE_STEM", True)
         )
         if self.phase_step and self.returns_mask:
             self.generator_phase = build_generator(

@@ -128,9 +128,9 @@ def migrate_gan(
         return ti.finalize_generator_params(model, tree) if is_gen else tree
 
     if model_is_cycle(model):
-        from floodgan_tpu.train.cycle import CycleState, CycleTrainer, ImageBuffer
+        from floodgan_tpu.core.config import TrainConfig
+        from floodgan_tpu.train.cycle import CycleState, ImageBuffer
 
-        trainer = CycleTrainer(model, input_channels, add_identity_loss=meta["add_identity_loss"])
         gen_params = {
             "ab": params_of("pre_to_post_generator"),
             "ba": params_of("post_to_pre_generator"),
@@ -158,7 +158,10 @@ def migrate_gan(
             nu={"post": _moment_tree(disc_spec, d_nu_post, disc_params["post"]),
                 "pre": _moment_tree(disc_spec, d_nu_pre, disc_params["pre"])},
         )
-        cap = trainer.cfg.buffer_size
+        # TrainConfig default directly — constructing a CycleTrainer here
+        # built both network module trees (and read runtime phase env
+        # flags) just to read this one constant
+        cap = TrainConfig().buffer_size
         state = CycleState(
             gen_params=gen_params, disc_params=disc_params,
             gen_opt=gen_opt, disc_opt=disc_opt,
@@ -167,9 +170,8 @@ def migrate_gan(
             post_buffer=ImageBuffer.create(cap, h, w, input_channels),
         )
     else:
-        from floodgan_tpu.train.paired import PairedState, PairedTrainer
+        from floodgan_tpu.train.paired import PairedState
 
-        trainer = PairedTrainer(model, input_channels)
         gen_params = params_of("generator")
         disc_params = params_of("discriminator")
         g_mu, g_nu, g_count = _adam_moments(saved["optimizer_generator"], gen_spec)

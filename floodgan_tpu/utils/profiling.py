@@ -39,6 +39,8 @@ class StepTimer:
         self._t0 = time.perf_counter()
 
     def stop(self) -> float:
+        if self._t0 is None:
+            raise RuntimeError("StepTimer.stop() called before start()")
         dt = time.perf_counter() - self._t0
         self.samples.append(dt)
         return dt
@@ -46,6 +48,8 @@ class StepTimer:
     @property
     def mean(self) -> float:
         kept = self.samples[self.warmup:] or self.samples
+        if not kept:
+            return float("nan")  # no samples recorded (e.g. empty split)
         return sum(kept) / len(kept)
 
     @property

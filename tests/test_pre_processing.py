@@ -129,3 +129,26 @@ def test_flow_crop_script(tmp_path):
     content = open(p).read()
     assert "gdal_translate -projwin -95.5 29.6 -95.4 29.5" in content
     assert "flow_harvey.tif" in content
+
+
+def test_wkt_polygon_is_closed_and_balanced():
+    """The metadata polygon column must be consumable WKT: closed ring
+    (first point == last point) and balanced 'POLYGON ((...))'."""
+    from floodgan_tpu.pre_processing.metadata import _wkt_polygon
+
+    w = _wkt_polygon(1.0, 2.0, 3.0, 4.0)
+    assert w.startswith("POLYGON ((") and w.endswith("))")
+    pts = w[len("POLYGON (("):-2].split(", ")
+    assert len(pts) == 5 and pts[0] == pts[-1] == "1.0 2.0"
+    assert pts[1] == "1.0 4.0" and pts[2] == "3.0 4.0" and pts[3] == "3.0 2.0"
+
+
+def test_georeference_script_size_parameter(tmp_path):
+    from floodgan_tpu.pre_processing import scripts as sc
+
+    extents = {"img_a": (-95.5, 29.5, -95.4, 29.6)}
+    p = sc.emit_georeference_script(
+        extents, str(tmp_path), str(tmp_path), str(tmp_path / "g.sh"), size=2048
+    )
+    content = open(p).read()
+    assert "-gcp 2048 0" in content and "-gcp 2048 2048" in content
