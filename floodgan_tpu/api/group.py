@@ -158,8 +158,9 @@ class ModelsGroup:
 
                 y01 = denormalize(y)
                 out01 = denormalize(out)
-                # true bound 11*2^4 = 176 (see Model.calculate_metrics)
-                ms_ok = min(out01.shape[1], out01.shape[2]) >= 176
+                from floodgan_tpu.eval.metrics import MS_SSIM_MIN_SIDE
+
+                ms_ok = min(out01.shape[1], out01.shape[2]) >= MS_SSIM_MIN_SIDE
                 imgm = jax.device_get(image_pair_metrics(out01, y01, with_ms_ssim=ms_ok))
                 per_image["PSNR"][name].extend(imgm["PSNR"].tolist())
                 per_image["SSIM"][name].extend(imgm["SSIM"].tolist())

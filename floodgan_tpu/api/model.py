@@ -559,19 +559,18 @@ class Model:
             inference_time = time.time() - start
             y01 = denormalize(y)
             out01 = denormalize(out)
-            # MS-SSIM needs >=176px spatial dims: after 4 floor-halvings
-            # the scale-5 map must still fit the 11-tap VALID kernel
-            # (11 * 2^4 = 176).  NB torchmetrics' own guard is the weaker
-            # (kernel-1)*2^4 = 160, under which 161-175px inputs reach an
-            # empty valid conv; we guard at the true bound and NaN the
+            # see eval/metrics.MS_SSIM_MIN_SIDE for the bound's derivation
+            # (true bound 176, not torchmetrics' documented 160); NaN the
             # column with one warning instead of failing the whole eval.
-            ms_ok = min(out01.shape[1], out01.shape[2]) >= 176
+            from floodgan_tpu.eval.metrics import MS_SSIM_MIN_SIDE
+
+            ms_ok = min(out01.shape[1], out01.shape[2]) >= MS_SSIM_MIN_SIDE
             if not ms_ok and not getattr(self, "_ms_ssim_warned", False):
                 print(
                     f"WARNING: images are {out01.shape[1]}x{out01.shape[2]} "
-                    "after resize/crop — MS-SSIM requires >=176px per side "
-                    "(5 dyadic scales x 11-tap kernel); the MS-SSIM column "
-                    "will be NaN for this run."
+                    f"after resize/crop — MS-SSIM requires >={MS_SSIM_MIN_SIDE}px "
+                    "per side (5 dyadic scales x 11-tap kernel); the MS-SSIM "
+                    "column will be NaN for this run."
                 )
                 self._ms_ssim_warned = True
             imgm = jax.device_get(image_pair_metrics(out01, y01, with_ms_ssim=ms_ok))

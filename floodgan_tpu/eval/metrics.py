@@ -26,6 +26,12 @@ import numpy as np
 from jax import lax
 
 _MSSSIM_BETAS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+# Smallest spatial side MS-SSIM accepts with the defaults: the final
+# scale's 11-tap VALID gaussian window must fit after len(betas)-1
+# floor-halvings (11 * 2^4 = 176).  NB torchmetrics documents the weaker
+# (kernel-1)*2^4 = 160, under which 161-175px inputs reach an empty valid
+# conv.  Callers gate the metric on this and NaN the column below it.
+MS_SSIM_MIN_SIDE = 11 * 2 ** (len(_MSSSIM_BETAS) - 1)
 
 
 # ------------------------------------------------------------------- PSNR

@@ -99,7 +99,6 @@ class AttentionGenerator(nn.Module):
             from floodgan_tpu.ops.nn_ops import instance_norm_act_phases
 
             xp = x  # (n, H/2, W/2, 4*C) phase-major
-            n, S, T, _ = xp.shape
             cin = self.input_channels
             # ReflectionPad2d(3) + the k7 conv as ONE phase-space composite
             # (ops.reflect_conv_phases): interior conv at exact size + four

@@ -47,13 +47,17 @@ def build_generator(
 ) -> nn.Module:
     model = _check_model(model)
     cls = _GENERATORS[model]
-    if cls is Pix2PixGenerator:
-        return cls(input_channels=input_channels, dropout_rate=dropout_rate)
     if phase_output or phase_input:
+        # checked BEFORE any family early-return: a phase request the
+        # family can't honor must raise, never silently hand back an
+        # image-space generator
         if cls not in (AttentionGenerator, CycleGANGenerator):
             raise ValueError(
                 f"phase generators only exist for the attention/cycle resnet families, not {model}"
             )
+    if cls is Pix2PixGenerator:
+        return cls(input_channels=input_channels, dropout_rate=dropout_rate)
+    if phase_output or phase_input:
         return cls(
             input_channels=input_channels, trunk_unroll=9,
             phase_output=phase_output, phase_input=phase_input,

@@ -646,6 +646,13 @@ def attention_compose_phases(content_p: jax.Array, logits_p: jax.Array, rgb_p: j
     return out, bg_mask
 
 
+@jax.jit
+def s2d_batch(input_stack: jax.Array, output_image: jax.Array):
+    """Phase-major conversion of one (input, output) training batch — the
+    shared body of the trainers' pipeline-side ``prepare_batch``."""
+    return space_to_depth_phases(input_stack), space_to_depth_phases(output_image)
+
+
 def concat_channels_phases(parts) -> jax.Array:
     """Channel concat of phase-major tensors: parts is [(p_i, c_i), ...]
     with p_i of shape (n, S, T, 4*c_i); returns (n, S, T, 4*sum(c_i)) in the

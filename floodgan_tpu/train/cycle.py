@@ -130,6 +130,9 @@ class CycleTrainer:
         # instead.  Same values, same replay policy, same parameters.
         from floodgan_tpu.core.flags import _env_bool
 
+        phase_d_explicit = phase_d is not None or (
+            os.environ.get("FLOODGAN_CYCLE_PHASE_D") is not None
+        )
         if phase_d is None:
             phase_d = _env_bool("FLOODGAN_CYCLE_PHASE_D", False)
         self.phase_d = bool(phase_d)
@@ -161,7 +164,18 @@ class CycleTrainer:
             else:
                 phase_gen = _env_bool("FLOODGAN_CYCLE_PHASE", False)
         self.phase_gen = bool(phase_gen)
-        if self.phase_gen:
+        if self.phase_gen and not self.phase_d:
+            # phase generators require phase discriminators/buffers.  An
+            # EXPLICIT phase_d=False (arg or env) must not be silently
+            # overridden — that would make the disable flag a no-op on TPU
+            # hosts where phase_gen defaults on.
+            if phase_d_explicit:
+                raise ValueError(
+                    "phase_d=False conflicts with the phase-space cycle step "
+                    "(phase generators emit phase-major tensors the D/buffers "
+                    "must consume); disable both with FLOODGAN_CYCLE_PHASE=0 "
+                    "or phase_gen=False"
+                )
             self.phase_d = True
         self.cfg = cfg
         self.add_identity_loss = add_identity_loss
@@ -288,20 +302,16 @@ class CycleTrainer:
             return jnp.concatenate([rgb, conditions], axis=-1)
         return rgb
 
-    @functools.partial(jax.jit, static_argnums=0)
     def prepare_batch(self, input_stack, output_image):
         """Device-side batch layout prep, run by the input pipeline (after
         the transform, before train_step): phase-major for the fully
-        phase-space cycle step, identity otherwise.  train_step accepts
-        either layout, so callers may skip this (see
-        PairedTrainer.prepare_batch for the rationale)."""
+        phase-space cycle step, identity (in Python, pre-jit — no device
+        copy) otherwise.  train_step accepts either layout, so callers may
+        skip this (see PairedTrainer.prepare_batch for the rationale)."""
         if self.phase_gen:
-            from floodgan_tpu.ops.nn_ops import space_to_depth_phases
+            from floodgan_tpu.ops.nn_ops import s2d_batch
 
-            return (
-                space_to_depth_phases(input_stack),
-                space_to_depth_phases(output_image),
-            )
+            return s2d_batch(input_stack, output_image)
         return input_stack, output_image
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)

@@ -137,7 +137,6 @@ class PairedTrainer:
             {"params": self._cast(params)}, x.astype(self.compute_dtype)
         ).astype(jnp.float32)
 
-    @functools.partial(jax.jit, static_argnums=0)
     def prepare_batch(self, input_stack, output_image):
         """Device-side batch layout prep, run by the input pipeline (after
         the transform, before train_step): emits the representation the
@@ -146,17 +145,16 @@ class PairedTrainer:
         full-resolution few-channel tensors costs ~2.6 ms/step inside the
         step (lane-padded relayout + (2,2,C) transpose, round-3 profile)
         and belongs with the transform stage.  Identity for image-space
-        trainers and pix2pix (whose U-Net consumes the image layout).
-        train_step accepts either layout, so callers may skip this."""
-        from floodgan_tpu.ops.nn_ops import space_to_depth_phases
-
+        trainers and pix2pix — returned in PYTHON, before any jit: a
+        jitted identity cannot alias its non-donated inputs, so it would
+        copy the whole batch on device every step.  train_step accepts
+        either layout, so callers may skip this."""
         # phase_stem (set in __init__) already implies phase_step and
         # returns_mask — one predicate, one definition of eligibility.
         if self.phase_stem:
-            return (
-                space_to_depth_phases(input_stack),
-                space_to_depth_phases(output_image),
-            )
+            from floodgan_tpu.ops.nn_ops import s2d_batch
+
+            return s2d_batch(input_stack, output_image)
         return input_stack, output_image
 
     # -- phase-space twins (active when self.phase_step) ------------------
