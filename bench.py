@@ -116,11 +116,11 @@ def main() -> None:
     def step(state, i):
         return trainer.train_step(state, x, y, lr, jax.random.key(i))
 
-    # FLOPs of the compiled step from XLA's own cost analysis (the jitted
-    # bound method exposes .lower through the class attribute).
+    # FLOPs of the compiled step from XLA's own cost analysis (train_step
+    # is a per-instance jitted callable — see PairedTrainer.__init__).
     flops_per_step = None
     try:
-        lowered = type(trainer).train_step.lower(trainer, state, x, y, lr, jax.random.key(0))
+        lowered = trainer.train_step.lower(state, x, y, lr, jax.random.key(0))
         ca = lowered.compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops_per_step = float(ca["flops"])

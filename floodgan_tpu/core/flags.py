@@ -129,3 +129,37 @@ def norm_arith_bf16() -> bool:
     Measured ≥ the f32 chain on v5e (BENCH_NOTES round 2);
     FLOODGAN_NORM_BF16=0 forces the f32 chain."""
     return _env_bool("FLOODGAN_NORM_BF16", True)
+
+
+def step_compiler_options() -> dict:
+    """XLA compiler options for the jitted train steps, decided at trainer
+    construction ({} on non-TPU backends — the options are TPU-compiler
+    flags).
+
+    Measured default (tools/xla_option_sweep.py, v5e 512² b8 headline):
+    ``xla_tpu_scoped_vmem_limit_kib=57344`` — 67.32 samples/s vs 65.44
+    same-session control (+2.9%; more scoped VMEM gives the conv fusions
+    deeper buffers).  The sweep: 48M→67.19, 56M→67.32, 64M→66.52,
+    72M→64.90, 96M→64.89 (too much crowds out prefetch buffers), and the
+    latency-hiding scheduler was neutral — 56 MiB is the measured peak.
+    These must travel as COMPILE OPTIONS, not XLA_FLAGS: the
+    tunneled backend compiles server-side (env never propagates) and
+    TPU-only flag names abort the local CPU-build flag parser.
+
+    FLOODGAN_XLA_OPTIONS overrides: unset = measured default;
+    0/off/none/false/"" = disable; else "name=value[,name=value...]"
+    passed through verbatim."""
+    raw = os.environ.get("FLOODGAN_XLA_OPTIONS")
+    if raw is not None:
+        if raw.strip().lower() in _FALSY + ("none",):
+            return {}
+        return dict(kv.split("=", 1) for kv in raw.split(",") if kv.strip())
+    import jax
+
+    try:
+        kind = getattr(jax.devices()[0], "device_kind", "")
+    except Exception:
+        return {}
+    if not kind.startswith("TPU"):
+        return {}
+    return {"xla_tpu_scoped_vmem_limit_kib": "57344"}

@@ -25,7 +25,6 @@ Loss keys match the reference storage schema (ref :189-199, :741-751).
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Tuple
 
 import flax.struct
@@ -202,6 +201,19 @@ class CycleTrainer:
         # 512^2 batch>1 in HBM.
         self.remat = remat
         self.remat_policy = remat_policy
+        # Per-instance jit so backend-specific XLA compiler options apply
+        # (core/flags.step_compiler_options — measured scoped-VMEM default
+        # on TPU, {} elsewhere); class decorators would fix options at
+        # import time, before the backend is known.
+        from floodgan_tpu.core.flags import step_compiler_options
+
+        opts = step_compiler_options() or None
+        self.train_step = jax.jit(
+            self._train_step, donate_argnums=0, compiler_options=opts
+        )
+        self.generate = jax.jit(
+            self._generate, static_argnums=2, compiler_options=opts
+        )
 
     def _cast(self, tree):
         if self.compute_dtype == jnp.float32:
@@ -314,8 +326,7 @@ class CycleTrainer:
             return s2d_batch(input_stack, output_image)
         return input_stack, output_image
 
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_step(
+    def _train_step(
         self, state: CycleState, input_stack, output_image, lr, rng
     ) -> Tuple[CycleState, Dict[str, jax.Array]]:
         cfg = self.cfg
@@ -465,7 +476,6 @@ class CycleTrainer:
         )
         return new_state, {**aux, **d_aux}
 
-    @functools.partial(jax.jit, static_argnums=(0, 3))
-    def generate(self, gen_params, input_stack, direction: str = "ab"):
+    def _generate(self, gen_params, input_stack, direction: str = "ab"):
         out = self.generator.apply({"params": gen_params[direction]}, input_stack)
         return out if self.returns_mask else (out, None)

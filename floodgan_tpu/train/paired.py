@@ -19,7 +19,6 @@ Loss scalars are returned with the reference's key names (:648-651).
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Tuple
 
 import flax.struct
@@ -108,6 +107,17 @@ class PairedTrainer:
         # pass (trades ~1 extra forward for O(depth) activation memory —
         # enables large batches at 512^2 in 16GB HBM).
         self.remat = remat
+        # Jit the steps per instance so backend-specific XLA compiler
+        # options apply (step_compiler_options: measured scoped-VMEM
+        # default on TPU, {} elsewhere).  Class-level decorators would fix
+        # the options at import time, before the backend is known.
+        from floodgan_tpu.core.flags import step_compiler_options
+
+        opts = step_compiler_options() or None
+        self.train_step = jax.jit(
+            self._train_step, donate_argnums=0, compiler_options=opts
+        )
+        self.generate = jax.jit(self._generate, compiler_options=opts)
 
     def _cast(self, tree):
         if self.compute_dtype == jnp.float32:
@@ -188,8 +198,7 @@ class PairedTrainer:
             disc_opt=self.tx.init(disc_params),
         )
 
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_step(
+    def _train_step(
         self, state: PairedState, input_stack, output_image, lr, rng
     ) -> Tuple[PairedState, Dict[str, jax.Array]]:
         """One adversarial step, in one of two REPRESENTATIONS of the same
@@ -318,8 +327,7 @@ class PairedTrainer:
         }
         return new_state, metrics
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def generate(self, gen_params, input_stack, rng):
+    def _generate(self, gen_params, input_stack, rng):
         """Inference forward; callers pass the fixed stochastic-eval key
         (reference pins torch.manual_seed(47) before eval-time calls)."""
         out = self.generator.apply(

@@ -9,7 +9,6 @@ accuracy — fraction of pixels where sigmoid(logit) > 0.5 agrees with
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Tuple
 
 import flax.struct
@@ -33,6 +32,16 @@ class SegTrainer:
         self.model = UNet()
         self.tx = adam_tx(b1=cfg.adam_b1, b2=cfg.adam_b2)
         self.compute_dtype = jnp.dtype(compute_dtype)
+        # Per-instance jit so backend-specific XLA compiler options apply
+        # (core/flags.step_compiler_options); see PairedTrainer.__init__.
+        from floodgan_tpu.core.flags import step_compiler_options
+
+        opts = step_compiler_options() or None
+        self.train_step = jax.jit(
+            self._train_step, donate_argnums=0, compiler_options=opts
+        )
+        self.predict_logits = jax.jit(self._predict_logits, compiler_options=opts)
+        self.predict_mask = jax.jit(self._predict_mask, compiler_options=opts)
 
     def _apply(self, params, image):
         if self.compute_dtype == jnp.float32:
@@ -44,8 +53,7 @@ class SegTrainer:
         params = self.model.init({"params": rng}, sample_input)["params"]
         return SegState(params=params, opt=self.tx.init(params))
 
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_step(
+    def _train_step(
         self, state: SegState, image, true_mask, lr
     ) -> Tuple[SegState, Dict[str, jax.Array]]:
         def loss_fn(p):
@@ -58,11 +66,9 @@ class SegTrainer:
         accuracy = jnp.mean((predicted == (true_mask > 0.5)).astype(jnp.float32))
         return SegState(params, opt), {"loss": loss, "accuracy": accuracy}
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def predict_logits(self, params, image):
+    def _predict_logits(self, params, image):
         return self._apply(params, image)
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def predict_mask(self, params, image):
+    def _predict_mask(self, params, image):
         """sigmoid > 0.5 binary mask (reference segmentation_model.py:244-248)."""
         return (jax.nn.sigmoid(self._apply(params, image)) > 0.5).astype(jnp.float32)
