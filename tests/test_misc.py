@@ -78,6 +78,27 @@ def test_use_pallas_env_override(monkeypatch):
     assert use_pallas() is False  # default off (XLA fusion wins, BENCH_NOTES)
 
 
+def test_step_compiler_options_env(monkeypatch):
+    from floodgan_tpu.core.flags import step_compiler_options
+
+    # CPU backend (the test platform): no TPU options by default.
+    monkeypatch.delenv("FLOODGAN_XLA_OPTIONS", raising=False)
+    assert step_compiler_options() == {}
+    # Explicit disable spellings.
+    for off in ("off", "0", "none", "", "False"):
+        monkeypatch.setenv("FLOODGAN_XLA_OPTIONS", off)
+        assert step_compiler_options() == {}
+    # Verbatim pass-through of a custom list (backend-independent).
+    monkeypatch.setenv(
+        "FLOODGAN_XLA_OPTIONS",
+        "xla_tpu_scoped_vmem_limit_kib=49152,xla_foo=bar",
+    )
+    assert step_compiler_options() == {
+        "xla_tpu_scoped_vmem_limit_kib": "49152",
+        "xla_foo": "bar",
+    }
+
+
 def test_step_timer_warmup_discard():
     t = StepTimer(warmup=2)
     for v in [1.0, 1.0, 0.1, 0.1]:
