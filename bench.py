@@ -103,7 +103,10 @@ def main() -> None:
         trainer = CycleTrainer(args.model, 9, compute_dtype=args.dtype,
                                remat=args.remat, remat_policy=args.remat_policy)
     else:
-        trainer = PairedTrainer(args.model, 9, compute_dtype=args.dtype, remat=args.remat)
+        trainer = PairedTrainer(
+            args.model, 9, compute_dtype=args.dtype, remat=args.remat,
+            remat_policy="full" if args.remat_policy == "full" else "boundaries",
+        )
     state = trainer.init(jax.random.key(0), x, y)
     lr = jnp.float32(2e-4)
 

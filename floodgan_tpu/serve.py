@@ -67,21 +67,39 @@ class InferenceEngine:
         self.gen_params = gen_params
         self._key = RngStreams(seed).inference()
 
+        # NB: the engine owns the top-level jit below, so it must call the
+        # trainers' UNJITTED `_generate` bodies — their jitted `generate`
+        # wrappers carry backend compiler options, which JAX rejects on a
+        # nested jit (and nesting would add dispatch overhead for nothing).
         if model_is_cycle(model):
             trainer = CycleTrainer(model, self.channels, compute_dtype=compute_dtype)
 
             def forward(params, x):
-                out, _ = trainer.generate(params, x, "ab")
+                out, _ = trainer._generate(params, x, "ab")
                 return denormalize(out)
         else:
             trainer = PairedTrainer(model, self.channels, compute_dtype=compute_dtype)
             key = self._key
 
             def forward(params, x):
-                out, _ = trainer.generate(params, x, key)
+                out, _ = trainer._generate(params, x, key)
                 return denormalize(out)
 
-        self._fn = jax.jit(forward)
+        # The train steps' scoped-VMEM compiler default was measured on the
+        # serving forward too (tools/serve_bench.py, v5e 512²: batch-1
+        # latency 10.42 → 10.35 ms, batch-8 throughput 141.2 → 138.4
+        # imgs/s — a wash; the option's win is the train step's deeper
+        # backward fusions, which inference doesn't have).  So serving jits
+        # option-free unless FLOODGAN_XLA_OPTIONS is set explicitly, which
+        # applies here as everywhere (BENCH_NOTES round 3).
+        from floodgan_tpu.core.flags import step_compiler_options
+
+        opts = (
+            step_compiler_options()
+            if os.environ.get("FLOODGAN_XLA_OPTIONS")
+            else None
+        )
+        self._fn = jax.jit(forward, compiler_options=opts or None)
         if aot:
             # Ahead-of-time compile for the fixed serving shape so the
             # first request pays zero compilation latency.

@@ -54,6 +54,7 @@ class PairedTrainer:
         dropout_rate: float = 0.5,
         compute_dtype: str = "float32",
         remat: bool = False,
+        remat_policy: str = "boundaries",  # "boundaries" (segmented) | "full"
         phase_step: bool = None,
     ):
         self.model = model
@@ -106,7 +107,15 @@ class PairedTrainer:
         # Rematerialisation: recompute generator activations in the backward
         # pass (trades ~1 extra forward for O(depth) activation memory —
         # enables large batches at 512^2 in 16GB HBM).
+        # "boundaries" saves the named segment boundaries (peak = largest
+        # segment + the saves); "full" saves only the remat region's inputs
+        # (peak = one whole recomputed forward, but no boundary saves — the
+        # smaller-memory choice when the boundary tensors themselves bind,
+        # e.g. 1024^2 batch 8 where they are (8, 256^2, 256)-class).
+        if remat_policy not in ("boundaries", "full"):
+            raise ValueError(f"unknown remat_policy {remat_policy!r}")
         self.remat = remat
+        self.remat_policy = remat_policy
         # Jit the steps per instance so backend-specific XLA compiler
         # options apply (step_compiler_options: measured scoped-VMEM
         # default on TPU, {} elsewhere).  Class-level decorators would fix
@@ -259,15 +268,20 @@ class PairedTrainer:
             disc_fn = self.disc_apply
 
         if self.remat:
-            # Segmented remat: save only the named segment boundaries the
-            # generators mark (models/attention.py) — the backward pass
-            # recomputes one segment at a time, so peak memory is the
-            # largest segment, not the whole forward.  Falls back to full
-            # recompute-from-inputs semantics when a model has no markers.
-            gen_fwd = jax.checkpoint(
-                gen_fwd,
-                policy=jax.checkpoint_policies.save_only_these_names("seg_boundary"),
-            )
+            if self.remat_policy == "boundaries":
+                # Segmented remat: save only the named segment boundaries
+                # the generators mark (models/attention.py) — the backward
+                # recomputes one segment at a time, so peak memory is the
+                # largest segment, not the whole forward.  Falls back to
+                # full recompute-from-inputs when a model has no markers.
+                gen_fwd = jax.checkpoint(
+                    gen_fwd,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "seg_boundary"
+                    ),
+                )
+            else:  # "full": save nothing, replay the whole forward
+                gen_fwd = jax.checkpoint(gen_fwd)
         return self._adversarial_update(state, x_rep, y_rep, gen_fwd, disc_fn, lr)
 
     def _adversarial_update(

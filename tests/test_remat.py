@@ -30,6 +30,28 @@ def test_paired_remat_equivalence(rng):
 
 
 @pytest.mark.slow
+def test_paired_remat_full_replay_equivalence(rng):
+    """remat_policy='full' (save only region inputs — the smaller-memory
+    choice when the segment-boundary saves themselves bind, e.g. 1024²
+    batch 8) is the same math as the segmented default."""
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 9), dtype=np.float32) * 0.5)
+    y = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32) * 0.5)
+    key = jax.random.key(1)
+    a = _losses(PairedTrainer("pairedattention", 9, remat=True), x, y, key)
+    b = _losses(
+        PairedTrainer("pairedattention", 9, remat=True, remat_policy="full"),
+        x, y, key,
+    )
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_paired_remat_policy_validated():
+    with pytest.raises(ValueError):
+        PairedTrainer("pairedattention", 9, remat=True, remat_policy="typo")
+
+
+@pytest.mark.slow
 def test_cycle_remat_equivalence(rng):
     x = jnp.asarray(rng.standard_normal((1, 32, 32, 9), dtype=np.float32) * 0.5)
     y = jnp.asarray(rng.standard_normal((1, 32, 32, 3), dtype=np.float32) * 0.5)
