@@ -93,37 +93,49 @@ def main() -> None:
 
     from floodgan_tpu.train.paired import PairedTrainer
     from floodgan_tpu.train.cycle import CycleTrainer
+    from floodgan_tpu.train.seg import SegTrainer
     from floodgan_tpu.core.config import model_is_cycle
 
     rng = np.random.default_rng(47)
-    x = jnp.asarray(rng.standard_normal((args.batch, args.size, args.size, 9), dtype=np.float32))
-    y = jnp.asarray(rng.standard_normal((args.batch, args.size, args.size, 3), dtype=np.float32))
-
-    if model_is_cycle(args.model):
-        trainer = CycleTrainer(args.model, 9, compute_dtype=args.dtype,
-                               remat=args.remat, remat_policy=args.remat_policy)
+    is_seg = args.model.lower() in ("unet", "segmentation")
+    if is_seg:
+        # Segmentation family (reference segment.py --train): U-Net on RGB
+        # image -> 1-channel flood-mask logits, BCE, Adam lr 1e-4.
+        x = jnp.asarray(rng.standard_normal((args.batch, args.size, args.size, 3), dtype=np.float32))
+        y = jnp.asarray((rng.random((args.batch, args.size, args.size, 1)) > 0.5).astype(np.float32))
+        trainer = SegTrainer(compute_dtype=args.dtype)
+        state = trainer.init(jax.random.key(0), x)
+        lr = jnp.float32(1e-4)
+        step_args = lambda i: (x, y, lr)
     else:
-        trainer = PairedTrainer(
-            args.model, 9, compute_dtype=args.dtype, remat=args.remat,
-            remat_policy="full" if args.remat_policy == "full" else "boundaries",
-        )
-    state = trainer.init(jax.random.key(0), x, y)
-    lr = jnp.float32(2e-4)
+        x = jnp.asarray(rng.standard_normal((args.batch, args.size, args.size, 9), dtype=np.float32))
+        y = jnp.asarray(rng.standard_normal((args.batch, args.size, args.size, 3), dtype=np.float32))
+        if model_is_cycle(args.model):
+            trainer = CycleTrainer(args.model, 9, compute_dtype=args.dtype,
+                                   remat=args.remat, remat_policy=args.remat_policy)
+        else:
+            trainer = PairedTrainer(
+                args.model, 9, compute_dtype=args.dtype, remat=args.remat,
+                remat_policy="full" if args.remat_policy == "full" else "boundaries",
+            )
+        state = trainer.init(jax.random.key(0), x, y)
+        lr = jnp.float32(2e-4)
 
-    # Batches are stored in the layout the step consumes natively (the
-    # input pipeline's prepare_batch stage — phase-major for the attention
-    # phase step); the step-only measurement matches real training, where
-    # the transform emits this layout.
-    x, y = trainer.prepare_batch(x, y)
+        # Batches are stored in the layout the step consumes natively (the
+        # input pipeline's prepare_batch stage — phase-major for the attention
+        # phase step); the step-only measurement matches real training, where
+        # the transform emits this layout.
+        x, y = trainer.prepare_batch(x, y)
+        step_args = lambda i: (x, y, lr, jax.random.key(i))
 
     def step(state, i):
-        return trainer.train_step(state, x, y, lr, jax.random.key(i))
+        return trainer.train_step(state, *step_args(i))
 
     # FLOPs of the compiled step from XLA's own cost analysis (train_step
     # is a per-instance jitted callable — see PairedTrainer.__init__).
     flops_per_step = None
     try:
-        lowered = trainer.train_step.lower(state, x, y, lr, jax.random.key(0))
+        lowered = trainer.train_step.lower(state, *step_args(0))
         ca = lowered.compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops_per_step = float(ca["flops"])
@@ -147,11 +159,15 @@ def main() -> None:
 
     steps_per_sec = args.steps / dt
     samples_per_sec = steps_per_sec * args.batch
+    workload = "mask train" if is_seg else "topo=all train"
     result = {
-        "metric": f"{args.model} {args.size}^2 topo=all train samples/sec/chip (batch {args.batch})",
+        "metric": f"{args.model} {args.size}^2 {workload} samples/sec/chip (batch {args.batch})",
         "value": round(samples_per_sec, 4),
         "unit": "batch-1-equivalent samples/sec/chip",
-        "vs_baseline": round(samples_per_sec / REF_A100_SAMPLES_PER_SEC_EST, 4),
+        # The A100 anchor is derived from the GAN step's FLOPs/sample, so
+        # vs_baseline is only meaningful for the GAN families.
+        "vs_baseline": (None if is_seg
+                        else round(samples_per_sec / REF_A100_SAMPLES_PER_SEC_EST, 4)),
         "baseline": f"reference credited 15% of A100 TF32 peak = {REF_A100_SAMPLES_PER_SEC_EST} "
                     f"samples/s (measured same-host CPU: {REF_CPU_MEASURED_SAMPLES_PER_SEC}/s; "
                     "see bench.py docstring + BENCH_NOTES.md)",

@@ -131,6 +131,7 @@ class Model:
         lpips_weights: Optional[str] = None,
         compute_dtype: str = "float32",
         remat: bool = False,
+        remat_policy: Optional[str] = None,
         async_checkpoint: bool = False,
         train_cfg: TrainConfig = TrainConfig(),
     ):
@@ -196,16 +197,22 @@ class Model:
         )
 
         # -- trainer + state --
+        # remat_policy=None keeps each trainer's measured default
+        # ("convs" for cycle, "boundaries" for paired); "full" (replay the
+        # whole forward, save nothing) is the big-batch/high-resolution
+        # choice — it unlocked 1024² batch 8 on one 16GB chip
+        # (12.4 samples/s, 63.5% MFU vs 4.25/21.2% at b4; BENCH_NOTES).
+        policy = {} if remat_policy is None else {"remat_policy": remat_policy}
         if self.model_is_cycle:
             self.trainer = CycleTrainer(
                 self.model, input_channels, cfg=train_cfg,
                 add_identity_loss=self.add_identity_loss,
-                compute_dtype=compute_dtype, remat=remat,
+                compute_dtype=compute_dtype, remat=remat, **policy,
             )
         else:
             self.trainer = PairedTrainer(
                 self.model, input_channels, cfg=train_cfg,
-                compute_dtype=compute_dtype, remat=remat,
+                compute_dtype=compute_dtype, remat=remat, **policy,
             )
 
         h, w = self._image_hw()
