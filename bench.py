@@ -103,7 +103,7 @@ def main() -> None:
         # image -> 1-channel flood-mask logits, BCE, Adam lr 1e-4.
         x = jnp.asarray(rng.standard_normal((args.batch, args.size, args.size, 3), dtype=np.float32))
         y = jnp.asarray((rng.random((args.batch, args.size, args.size, 1)) > 0.5).astype(np.float32))
-        trainer = SegTrainer(compute_dtype=args.dtype)
+        trainer = SegTrainer(compute_dtype=args.dtype, remat=args.remat)
         state = trainer.init(jax.random.key(0), x)
         lr = jnp.float32(1e-4)
         step_args = lambda i: (x, y, lr)

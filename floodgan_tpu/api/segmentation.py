@@ -40,6 +40,8 @@ class SegmentationModel:
         seed: int = 47,
         batch_size: int = 1,
         metadata_dir: Optional[str] = None,
+        compute_dtype: str = "float32",
+        remat: bool = False,
         train_cfg: TrainConfig = TrainConfig(),
         skip_data: bool = False,
     ):
@@ -65,7 +67,7 @@ class SegmentationModel:
         self.all_accuracies: List[float] = []
         self.streams = RngStreams(seed)
 
-        self.trainer = SegTrainer(cfg=train_cfg)
+        self.trainer = SegTrainer(cfg=train_cfg, compute_dtype=compute_dtype, remat=remat)
         # Mask images are uncropped/unresized in the reference pipeline;
         # shapes are data-dependent, so init with a small dummy (conv
         # params are shape-independent in channels-only terms).

@@ -23,6 +23,8 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native extensions
     parser.add_argument("--batch_size", type=int, default=1, help="Per-step global batch size (the reference hardcodes 1)")
     parser.add_argument("--metadata_dir", default=None, help="Directory holding masks_metadata.csv (defaults to ./metadata like the reference)")
+    parser.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"], help="Activation/flop dtype (f32 master params either way)")
+    parser.add_argument("--remat", action="store_true", default=False, help="Rematerialise U-Net activations in the backward (1024^2 masks at batch 8 on one 16GB chip)")
     return parser
 
 

@@ -27,11 +27,17 @@ class SegState(flax.struct.PyTreeNode):
 
 
 class SegTrainer:
-    def __init__(self, cfg: TrainConfig = TrainConfig(), compute_dtype: str = "float32"):
+    def __init__(self, cfg: TrainConfig = TrainConfig(), compute_dtype: str = "float32",
+                 remat: bool = False):
         self.cfg = cfg
         self.model = UNet()
         self.tx = adam_tx(b1=cfg.adam_b1, b2=cfg.adam_b2)
         self.compute_dtype = jnp.dtype(compute_dtype)
+        # Recompute U-Net activations in the backward (the skip-connected
+        # stem holds 64ch full-resolution tensors live through the whole
+        # decode; remat trades one extra forward for them — unlocks
+        # 1024^2 batch 8 on one 16GB chip).
+        self.remat = remat
         # Per-instance jit so backend-specific XLA compiler options apply
         # (core/flags.step_compiler_options); see PairedTrainer.__init__.
         from floodgan_tpu.core.flags import step_compiler_options
@@ -56,8 +62,10 @@ class SegTrainer:
     def _train_step(
         self, state: SegState, image, true_mask, lr
     ) -> Tuple[SegState, Dict[str, jax.Array]]:
+        apply = jax.checkpoint(self._apply) if self.remat else self._apply
+
         def loss_fn(p):
-            logits = self._apply(p, image)
+            logits = apply(p, image)
             return bce_with_logits(logits, true_mask), logits
 
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

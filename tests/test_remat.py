@@ -51,6 +51,26 @@ def test_paired_remat_policy_validated():
         PairedTrainer("pairedattention", 9, remat=True, remat_policy="typo")
 
 
+def test_seg_remat_equivalence(rng):
+    from floodgan_tpu.train.seg import SegTrainer
+
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32) * 0.5)
+    m = jnp.asarray((rng.random((2, 32, 32, 1)) > 0.5).astype(np.float32))
+    lr = jnp.float32(1e-4)
+
+    def losses(trainer):
+        state = trainer.init(jax.random.key(5), x)
+        state, m1 = trainer.train_step(state, x, m, lr)
+        state, m2 = trainer.train_step(state, x, m, lr)
+        return {**{f"s1_{k}": float(v) for k, v in m1.items()},
+                **{k: float(v) for k, v in m2.items()}}
+
+    a = losses(SegTrainer())
+    b = losses(SegTrainer(remat=True))
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-6, err_msg=k)
+
+
 @pytest.mark.slow
 def test_cycle_remat_equivalence(rng):
     x = jnp.asarray(rng.standard_normal((1, 32, 32, 9), dtype=np.float32) * 0.5)
