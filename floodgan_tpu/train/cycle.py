@@ -199,6 +199,8 @@ class CycleTrainer:
         # outputs resident and recomputes only the cheap norm/elementwise
         # chains — far less recompute than full remat while still fitting
         # 512^2 batch>1 in HBM.
+        if remat_policy not in ("convs", "boundaries", "full"):
+            raise ValueError(f"unknown remat_policy {remat_policy!r}")
         self.remat = remat
         self.remat_policy = remat_policy
         # Per-instance jit so backend-specific XLA compiler options apply

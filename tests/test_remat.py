@@ -51,6 +51,13 @@ def test_paired_remat_policy_validated():
         PairedTrainer("pairedattention", 9, remat=True, remat_policy="typo")
 
 
+def test_cycle_remat_policy_validated():
+    from floodgan_tpu.train.cycle import CycleTrainer
+
+    with pytest.raises(ValueError):
+        CycleTrainer("cyclegan", 9, remat=True, remat_policy="typo")
+
+
 def test_seg_remat_equivalence(rng):
     from floodgan_tpu.train.seg import SegTrainer
 
