@@ -62,7 +62,18 @@ class LPIPS:
 
     @functools.partial(jax.jit, static_argnums=0)
     def __call__(self, pred: jax.Array, target: jax.Array) -> jax.Array:
-        """Per-image LPIPS distance, NHWC inputs in [-1, 1] nominally."""
+        """Per-image LPIPS distance, NHWC inputs in [-1, 1] nominally.
+
+        Runs under matmul precision "highest": TPU convs otherwise
+        truncate operands to bf16 on the MXU, which breaks parity with
+        the f32 torch reference this metric is golden-tested against
+        (same class of error that corrupted MS-SSIM's deep scales —
+        see eval/metrics._gaussian_filter_valid).  Metric cost is
+        negligible next to the generator forwards it scores."""
+        with jax.default_matmul_precision("highest"):
+            return self._distance(pred, target)
+
+    def _distance(self, pred: jax.Array, target: jax.Array) -> jax.Array:
 
         def feats(x):
             x = (x - _SHIFT) / _SCALE

@@ -53,17 +53,29 @@ def _gaussian_1d(size: int, sigma: float) -> np.ndarray:
 
 
 def _gaussian_filter_valid(x: jax.Array, size: int, sigma: float) -> jax.Array:
-    """Separable valid-mode gaussian filter over H, W of NHWC."""
+    """Separable valid-mode gaussian filter over H, W of NHWC.
+
+    precision=HIGHEST is load-bearing: on TPU the default conv precision
+    truncates operands to bf16 on the MXU, and SSIM's variance form
+    E[x^2] - mu^2 amplifies that truncation catastrophically wherever the
+    local variance is small — measured on v5e, MS-SSIM's scale-5 CS came
+    out 1.157 (> 1 is impossible; CS <= 1 by AM-GM) on a smooth pair
+    whose true value is 0.9977.  Full-f32 convs restore agreement with a
+    float64 scipy reference to ~1e-6 (tests/test_metrics.py goldens);
+    the metric suite's conv cost is negligible next to the generator
+    forward it scores."""
     k = jnp.asarray(_gaussian_1d(size, sigma))
     c = x.shape[-1]
     kh = jnp.tile(k.reshape(size, 1, 1, 1), (1, 1, 1, c))
     kw = jnp.tile(k.reshape(1, size, 1, 1), (1, 1, 1, c))
     dn = ("NHWC", "HWIO", "NHWC")
     x = lax.conv_general_dilated(
-        x, kh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
+        x, kh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c,
+        precision=lax.Precision.HIGHEST,
     )
     return lax.conv_general_dilated(
-        x, kw, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
+        x, kw, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c,
+        precision=lax.Precision.HIGHEST,
     )
 
 

@@ -115,7 +115,7 @@ class CycleTrainer:
         add_identity_loss: bool = False,
         compute_dtype: str = "float32",
         remat: bool = False,
-        remat_policy: str = "convs",  # "convs" (save conv outputs) | "full"
+        remat_policy: str = "convs",  # "convs" | "boundaries" (segmented) | "full"
         phase_d: bool = None,
         phase_gen: bool = None,
     ):
