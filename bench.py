@@ -54,9 +54,26 @@ def _peak_for(device) -> float:
 
 def main() -> None:
     p = argparse.ArgumentParser()
+    p.add_argument("--mode", default="train", choices=["train", "eval", "pipeline"],
+                   help="train = the headline jitted train step (device-resident "
+                        "batch); eval = the calculate_metrics device pipeline "
+                        "(generator fwd + 2x seg U-Net + PSNR/SSIM/MS-SSIM + "
+                        "confusion counts — reference models/model.py:388-410); "
+                        "pipeline = END-TO-END training through the real "
+                        "BatchLoader over an on-disk synthetic dataset (decode "
+                        "cache + device transform + H2D + train step), reported "
+                        "next to step-only")
     p.add_argument("--model", default="pairedattention")
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--raw_size", type=int, default=1024,
+                   help="pipeline mode: on-disk tile resolution (xBD tiles are "
+                        "1024^2); the device transform resizes to --size")
+    p.add_argument("--pipeline_images", type=int, default=12,
+                   help="pipeline mode: distinct on-disk images (x2 versions = "
+                        "train samples)")
+    p.add_argument("--pipeline_epochs", type=int, default=4,
+                   help="pipeline mode: measured epochs after the warm epoch")
     # 50 steps: the 10-step default left ~3.5 ms/step of tunnel dispatch
     # latency in the wall clock (65.2 vs 63.6 samples/s measured, device
     # time 121.4 ms vs 125.8 wall) — real training runs thousands of
@@ -95,6 +112,11 @@ def main() -> None:
     from floodgan_tpu.train.cycle import CycleTrainer
     from floodgan_tpu.train.seg import SegTrainer
     from floodgan_tpu.core.config import model_is_cycle
+
+    if args.mode == "eval":
+        return run_eval(args)
+    if args.mode == "pipeline":
+        return run_pipeline(args)
 
     rng = np.random.default_rng(47)
     is_seg = args.model.lower() in ("unet", "segmentation")
@@ -206,6 +228,226 @@ def main() -> None:
     print(json.dumps(result))
     if regressed and os.environ.get("FLOODGAN_BENCH_STRICT") == "1":
         sys.exit(1)
+
+
+def run_eval(args) -> None:
+    """The eval/metrics hot loop (reference models/model.py:388-410) with
+    device-resident batches: generator forward, denormalize, per-image
+    PSNR/SSIM/MS-SSIM, two seg-U-Net mask predictions, confusion-count
+    update.  Same computation as tools/eval_bench.py, surfaced as a bench
+    row.  vs_baseline is null: the A100 anchor is derived from the train
+    step's FLOPs/sample (bench.py docstring) and does not transfer."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from floodgan_tpu.core.config import model_is_cycle
+    from floodgan_tpu.data.transforms import denormalize
+    from floodgan_tpu.eval.metrics import (
+        MS_SSIM_MIN_SIDE,
+        MaskMetricsAccumulator,
+        image_pair_metrics,
+    )
+    from floodgan_tpu.train.cycle import CycleTrainer
+    from floodgan_tpu.train.paired import PairedTrainer
+    from floodgan_tpu.train.seg import SegTrainer
+
+    rng = np.random.default_rng(47)
+    x = jnp.asarray(rng.standard_normal((args.batch, args.size, args.size, 9), dtype=np.float32))
+    y = jnp.asarray(rng.standard_normal((args.batch, args.size, args.size, 3), dtype=np.float32))
+
+    if model_is_cycle(args.model):
+        trainer = CycleTrainer(args.model, 9, compute_dtype=args.dtype)
+        state = trainer.init(jax.random.key(0), x, y)
+        gen = lambda xx: trainer.generate(state.gen_params, xx, "ab")[0]
+    else:
+        trainer = PairedTrainer(args.model, 9, compute_dtype=args.dtype)
+        state = trainer.init(jax.random.key(0), x, y)
+        key = jax.random.key(47)
+        gen = lambda xx: trainer.generate(state.gen_params, xx, key)[0]
+
+    seg = SegTrainer(compute_dtype=args.dtype)
+    seg_params = seg.init(jax.random.key(1), jnp.zeros((1, 64, 64, 3))).params
+    ms_ok = args.size >= MS_SSIM_MIN_SIDE
+    masks = MaskMetricsAccumulator()
+
+    def eval_batch(xx, yy):
+        out01 = denormalize(gen(xx))
+        y01 = denormalize(yy)
+        imgm = jax.device_get(image_pair_metrics(out01, y01, with_ms_ssim=ms_ok))
+        masks.update(seg.predict_mask(seg_params, out01), seg.predict_mask(seg_params, y01))
+        return imgm
+
+    for _ in range(args.warmup):
+        eval_batch(x, y)
+    masks.compute()  # host sync on the accumulated counts
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        eval_batch(x, y)
+    masks.compute()
+    dt = time.perf_counter() - t0
+
+    images_per_sec = args.steps * args.batch / dt
+    print(json.dumps({
+        "metric": f"{args.model} {args.size}^2 eval-metrics images/sec/chip (batch {args.batch})",
+        "value": round(images_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "ms_per_image": round(1000 * dt / (args.steps * args.batch), 3),
+        "includes": "generator fwd + denorm + PSNR/SSIM"
+                    + ("/MS-SSIM" if ms_ok else "")
+                    + " + 2x seg U-Net masks + confusion counts",
+    }))
+
+
+def _build_pipeline_fixture(root: str, raw: int, n_images: int):
+    """Synthetic on-disk dataset at the xBD tile contract: float32 TIFF
+    stacks (9ch input, 3ch output) + a dataset_split.csv row pair
+    (original + flipped) per image, all split=train, country=usa,
+    same_DEM=10m.  Only the files the 'usa'/'same' loader reads are
+    written."""
+    import numpy as np
+    import pandas as pd
+
+    from floodgan_tpu.data import tiff
+
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(os.path.join(root, "dataset_input"), exist_ok=True)
+    os.makedirs(os.path.join(root, "dataset_output"), exist_ok=True)
+    os.makedirs(meta_dir, exist_ok=True)
+    rng = np.random.default_rng(47)
+    rows = []
+    for i in range(n_images):
+        image = f"hurricane-harvey_{i:08d}"
+        for version in ("original", "flipped"):
+            rows.append(dict(image=image, best_DEM="01m", same_DEM="10m",
+                             version=version, split="train",
+                             disaster="hurricane-harvey", country="usa"))
+        tiff.imwrite(os.path.join(root, "dataset_input", f"{image}_10m.tif"),
+                     rng.random((raw, raw, 9), dtype=np.float32))
+        tiff.imwrite(os.path.join(root, "dataset_output", f"{image}.tif"),
+                     rng.random((raw, raw, 3), dtype=np.float32))
+    pd.DataFrame(rows).to_csv(os.path.join(meta_dir, "dataset_split.csv"), index=False)
+    return meta_dir
+
+
+def run_pipeline(args) -> None:
+    """END-TO-END feed proof (round-4 VERDICT item 2): drive the real
+    train step through BatchLoader over an on-disk synthetic dataset —
+    TIFF decode (RAM-hot LRU cache after the warm epoch), device-side
+    transform (resize raw->size, normalize), H2D, phase-major
+    prepare_batch, jitted train step — and report it NEXT TO the
+    step-only rate plus the host-feed-only rate and the explicit
+    bytes/s budget a real TPU host needs at the step rate.  On the dev
+    tunnel H2D moves ~17 MB/s (BENCH_NOTES round 1), so `value` here is
+    tunnel-bound by construction; the budget line is the portable claim."""
+    import shutil
+    import tempfile
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from floodgan_tpu.data.pipeline import BatchLoader, FloodDataset
+    from floodgan_tpu.train.paired import PairedTrainer
+
+    keep = os.environ.get("FLOODGAN_PIPELINE_DATA")
+    root = keep or tempfile.mkdtemp(prefix="floodgan_bench_")
+    try:
+        if not os.path.exists(os.path.join(root, "metadata", "dataset_split.csv")):
+            meta_dir = _build_pipeline_fixture(root, args.raw_size, args.pipeline_images)
+        else:
+            meta_dir = os.path.join(root, "metadata")
+
+        resize = args.size if args.size != args.raw_size else None
+        ds = FloodDataset("usa", "same", "train", root, "all", resize, None,
+                          metadata_dir=meta_dir)
+        n_samples = len(ds)
+        loader = BatchLoader(ds, batch_size=args.batch, shuffle=True,
+                             drop_remainder=True)
+        steps_per_epoch = len(loader)
+
+        trainer = PairedTrainer(args.model, 9, compute_dtype=args.dtype,
+                                remat=args.remat)
+        state = trainer.init(
+            jax.random.key(0),
+            jnp.zeros((args.batch, args.size, args.size, 9)),
+            jnp.zeros((args.batch, args.size, args.size, 3)),
+        )
+        lr = jnp.float32(2e-4)
+
+        def sync(metrics):
+            return float(jax.device_get(next(iter(metrics.values()))))
+
+        # warm epoch: fills the decode cache, compiles transform + step
+        step_i = 0
+        for batch in loader.epoch_iter(0):
+            xb, yb = trainer.prepare_batch(batch["input"], batch["output"])
+            state, metrics = trainer.train_step(state, xb, yb, lr, jax.random.key(step_i))
+            step_i += 1
+        sync(metrics)
+
+        # pipelined steady state: RAM-hot decode, prefetch overlapping steps
+        t0 = time.perf_counter()
+        n_steps = 0
+        for e in range(1, 1 + args.pipeline_epochs):
+            for batch in loader.epoch_iter(e):
+                xb, yb = trainer.prepare_batch(batch["input"], batch["output"])
+                state, metrics = trainer.train_step(
+                    state, xb, yb, lr, jax.random.key(step_i)
+                )
+                step_i += 1
+                n_steps += 1
+        sync(metrics)
+        pipelined = n_steps * args.batch / (time.perf_counter() - t0)
+
+        # host-feed-only: the loader's ceiling (decode cache + transform
+        # dispatch + H2D), no train step
+        t0 = time.perf_counter()
+        n_feed = 0
+        for e in range(100, 100 + args.pipeline_epochs):
+            for batch in loader.epoch_iter(e):
+                last = batch["input"]
+                n_feed += 1
+        _ = float(jax.device_get(last[0, 0, 0, 0]))
+        host_feed = n_feed * args.batch / (time.perf_counter() - t0)
+
+        # step-only on the SAME shapes (device-resident batch)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((args.batch, args.size, args.size, 9), dtype=np.float32))
+        y = jnp.asarray(rng.standard_normal((args.batch, args.size, args.size, 3), dtype=np.float32))
+        x, y = trainer.prepare_batch(x, y)
+        for i in range(3):
+            state, metrics = trainer.train_step(state, x, y, lr, jax.random.key(i))
+        sync(metrics)
+        t0 = time.perf_counter()
+        for i in range(20):
+            state, metrics = trainer.train_step(state, x, y, lr, jax.random.key(i))
+        sync(metrics)
+        step_only = 20 * args.batch / (time.perf_counter() - t0)
+
+        raw_bytes_per_sample = args.raw_size * args.raw_size * (9 + 3) * 4
+        print(json.dumps({
+            "metric": f"{args.model} {args.size}^2 end-to-end pipelined train "
+                      f"samples/sec/chip (batch {args.batch}, raw {args.raw_size}^2 TIFFs)",
+            "value": round(pipelined, 4),
+            "unit": "samples/sec/chip end-to-end (decode cache + device transform + H2D + step)",
+            "vs_baseline": None,
+            "step_only_samples_per_sec": round(step_only, 4),
+            "host_feed_samples_per_sec": round(host_feed, 4),
+            "overlap_ratio": round(pipelined / step_only, 4),
+            "raw_mb_per_sample": round(raw_bytes_per_sample / 1e6, 1),
+            "required_gbps_at_step_rate": round(step_only * raw_bytes_per_sample / 1e9, 3),
+            "dataset": f"{n_samples} samples ({args.pipeline_images} images x2 versions), "
+                       f"{steps_per_epoch} steps/epoch, {args.pipeline_epochs} measured epochs",
+        }))
+    finally:
+        if not keep:
+            shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -25,6 +25,45 @@ def masks_fixture(tmp_path_factory):
     return make_masks_fixture(root, size=32)
 
 
+def test_fast_paired_train_resume_evaluate(flood_fixture):
+    """FAST-tier orchestration e2e (round-4 VERDICT item 8): train ->
+    checkpoint -> resume -> evaluate through the public API at 32^2 on
+    the 'testing'-style fixture, so `-m "not slow"` exercises the API
+    layer beyond a single path.  Kept minimal: 2 epochs on the smallest
+    subset, loss-figure + single-image artifacts asserted by name."""
+    from floodgan_tpu.api import Model
+
+    data_path, meta_dir = flood_fixture
+    model = Model(
+        model="PairedAttention", dataset_subset="nepal-flooding", dataset_dem="same",
+        data_path=data_path, num_epochs=2, topography="dem", resize=None,
+        crop=None, save_model_interval=2, verbose=False, metadata_dir=meta_dir,
+    )
+    model.train_paired()
+    assert len(model.all_losses["all_losses_generator_synthetic"]) == 2
+    ckpts = glob.glob(
+        f"{data_path}/models/PairedAttention_*epoch2*nepal-floodingData*.ckpt"
+    )
+    assert len(ckpts) >= 1
+
+    ev = Model(
+        dataset_subset="nepal-flooding", dataset_dem="same", data_path=data_path,
+        load_pretrained_model=True, pretrained_model_path=ckpts[0],
+        training_model=False, verbose=False, metadata_dir=meta_dir,
+    )
+    # self-describing checkpoint reconstructs config (reference stores the
+    # architecture/topography in the file, models/model.py:52-57)
+    assert ev.model == "pairedattention"
+    assert ev.topography == "dem"
+    assert len(ev.all_losses["all_losses_generator_synthetic"]) == 2
+    ev.plot_losses()
+    figs = glob.glob(f"{data_path}/figures/PairedAttention_losses_*.png")
+    assert figs, "plot_losses must write the metadata-named loss figure"
+    ev.plot_sample_images(num_images=1, use_test_data=False)
+    imgs = glob.glob(f"{data_path}/images/PairedAttention_validation*.png")
+    assert imgs, "plot_sample_images must write the sample grid artifact"
+
+
 @pytest.mark.slow
 def test_paired_train_checkpoint_resume(flood_fixture):
     from floodgan_tpu.api import Model

@@ -127,6 +127,51 @@ def test_spatial_sharded_step_matches_single_device(rng):
         )
 
 
+@pytest.mark.slow
+def test_spatial_sharded_highres_step_matches_single_device(rng):
+    """Round-4 hardening: the FULL production composition — phase-space
+    paired step ∘ remat('boundaries') ∘ spatial sharding — at a
+    halo-exercising resolution (H=512; every prior spatial execution ran
+    at 64^2).  At spatial=4 each device holds 128 full-res rows, so the
+    k7 reflect-conv stem, the s2 downs, the trunk's k3 convs at H/4=128
+    and both ConvTranspose ups all exchange halos across shard
+    boundaries, the phase-major (H/2) layout is itself the sharded axis,
+    and the segment-boundary remat saves are sharded tensors.  Loss
+    scalars must match unsharded execution (W=32 keeps the single-core
+    CPU cost bounded; H is the sharded axis, so a narrow W loses no halo
+    coverage).  2560^2-class feasibility notes: BENCH_NOTES round 4."""
+    from floodgan_tpu.parallel.mesh import shard_images
+
+    t = PairedTrainer("pairedattention", 9, remat=True, remat_policy="boundaries")
+    assert t.phase_step and t.phase_stem, "test must cover the production phase path"
+    x = jnp.asarray(rng.standard_normal((1, 512, 32, 9), dtype=np.float32) * 0.3)
+    y = jnp.asarray(rng.standard_normal((1, 512, 32, 3), dtype=np.float32) * 0.3)
+    # conv params are resolution-independent: init at small H keeps the
+    # un-jitted init off this test's critical path
+    state = t.init(
+        jax.random.key(0), jnp.zeros((1, 64, 32, 9)), jnp.zeros((1, 64, 32, 3))
+    )
+    key = jax.random.key(7)
+    lr = jnp.float32(2e-4)
+
+    xp, yp = t.prepare_batch(x, y)
+    _, m_single = t.train_step(
+        jax.tree_util.tree_map(jnp.copy, state), xp, yp, lr, key
+    )
+    m_single = {k: float(v) for k, v in m_single.items()}
+
+    for spatial in (2, 4):
+        mesh = make_mesh(spatial, spatial=spatial)
+        state_sp = replicate_tree(jax.tree_util.tree_map(jnp.copy, state), mesh)
+        xs, ys = t.prepare_batch(shard_images(x, mesh), shard_images(y, mesh))
+        _, m_sp = t.train_step(state_sp, xs, ys, lr, key)
+        for k, want in m_single.items():
+            np.testing.assert_allclose(
+                want, float(m_sp[k]), rtol=2e-4, atol=1e-5,
+                err_msg=f"spatial={spatial}: {k}",
+            )
+
+
 def test_make_mesh_spatial_validation():
     with pytest.raises(ValueError):
         make_mesh(8, spatial=3)
