@@ -85,6 +85,30 @@ def phase_head() -> bool:
     return _env_bool("FLOODGAN_PHASE_HEAD", True)
 
 
+def seg_phase() -> bool:
+    """Whether the segmentation U-Net's full-resolution stem and tail run
+    in 2x2 phase space (models/unet.py): the inc DoubleConv, the up4
+    ConvTranspose+DoubleConv and the 1x1 outc all evaluate on
+    space-to-depth tensors — (H/2, W/2, 4C) instead of (H, W, C).
+
+    Why: the U-Net's 512^2-level convs carry 64 channels, half the 128
+    MXU lanes, and are the measured gap between the seg family (49.6%
+    MFU) and the headline (63%).  Their phase forms are 256-channel
+    convs at quarter the rows — full lanes, identical MACs.  The 2x2
+    maxpool that ends the stem is an elementwise max over the four phase
+    blocks (ops.max_pool2d_phases) and the k2 s2 up-conv emits phases as
+    four dense taps (ops.conv_transpose2d_phase_out), so neither end of
+    the net ever materializes a full-resolution 64-channel tensor.
+    Parameters are the ordinary image-space kernels either way —
+    checkpoints are layout-independent (golden-tested in
+    tests/test_seg_phase.py).
+
+    Default OFF pending the on-chip measurement (this flag's default is
+    set by measurement like every other — BENCH_NOTES).
+    FLOODGAN_SEG_PHASE=1 enables."""
+    return _env_bool("FLOODGAN_SEG_PHASE", False)
+
+
 def flat_compose() -> bool:
     """Whether the phase-space attention composition runs on flat channel
     layouts (constant 0/1-matrix matmuls for the per-phase softmax and
@@ -113,6 +137,29 @@ def merged_deconv1() -> bool:
     accounting); parameters/checkpoints identical either way.
     FLOODGAN_MERGED_DECONV1=1 enables."""
     return _env_bool("FLOODGAN_MERGED_DECONV1", False)
+
+
+def p2p_split() -> bool:
+    """Whether the stride-1 phase-to-phase convs with k >= 3 (the k7 stem
+    and content-head lowerings) run as FOUR per-input-phase convs instead
+    of one dense conv over the embedded (ext, ext, 4cin, 4cout) kernel.
+
+    The dense embedding is ~49% structural zeros for k=7 (ext=5 covers the
+    tap-offset union of both row phases; each (input-phase, output-phase)
+    pair only populates 3-4 of the 5 offsets per dim).  Restricting each
+    conv to one input phase shrinks the kernel to its exact ceil(k/2)
+    extent — 4x (4,4,cin,4cout) convs = 0.64x the dense MACs at identical
+    output-lane utilization (cout stays 4x folded).  The splits sum into
+    one output, so XLA fuses the adds; gradients flow through each
+    embedding's gathers exactly as in the dense form.
+
+    Measured on v5e (round 4, BENCH_NOTES): 62.99 samples/s vs 67.3
+    dense — REJECTED as a default.  The 0.64x MACs lose to input-channel
+    tiling: the dense embedding's 4*cin input depth fills sublane tiles
+    the split's cin-deep convs leave 3/4 empty, and the embedded zeros
+    ride in tiles the MXU streams anyway.  Kept opt-in with golden tests
+    as the measured record.  FLOODGAN_P2P_SPLIT=1 enables."""
+    return _env_bool("FLOODGAN_P2P_SPLIT", False)
 
 
 def custom_vjp_norms() -> bool:

@@ -287,6 +287,69 @@ def _phase_p2p_kernel(w: jax.Array, p: int):
     return wp, dmin, dmax
 
 
+def _phase_p2p_split_kernels(w: jax.Array, p: int):
+    """Per-INPUT-phase kernels for the split phase-to-phase conv (see
+    core/flags.p2p_split for the rationale).  For input row-phase a the
+    valid phase-grid offsets d of output row-phase r satisfy
+    j = 2d + a + p - r in [0, k) with (j + r - a - p) even — r is unique
+    per (j, a) parity, so each image tap lands exactly once per input
+    phase.  Returns [(K_ab, (dmin_r, dmax_r), (dmin_c, dmax_c))] in
+    phase-major (a*2+b) order; K_ab is (ext_r, ext_c, cin, 4*cout) with
+    output phases (r*2+c)-major on the last dim — the same output layout
+    as the dense embedding, so the four group convs sum elementwise."""
+    kh, kw, cin, cout = w.shape
+
+    def taps(a, k):
+        out = []
+        for r in (0, 1):
+            for j in range(k):
+                if (j + r - a - p) % 2 == 0:
+                    out.append((r, (j + r - a - p) // 2, j))
+        return out
+
+    kernels = []
+    for a in (0, 1):
+        ta = taps(a, kh)
+        dr0, dr1 = min(d for _, d, _ in ta), max(d for _, d, _ in ta)
+        for bp in (0, 1):
+            tb = taps(bp, kw)
+            dc0, dc1 = min(d for _, d, _ in tb), max(d for _, d, _ in tb)
+            K = jnp.zeros((dr1 - dr0 + 1, dc1 - dc0 + 1, cin, 4 * cout), w.dtype)
+            for r, d, j in ta:
+                for c, dd, k in tb:
+                    K = K.at[
+                        d - dr0, dd - dc0, :,
+                        (r * 2 + c) * cout : (r * 2 + c + 1) * cout,
+                    ].set(w[j, k])
+            kernels.append((K, (dr0, dr1), (dc0, dc1)))
+    return kernels
+
+
+def _conv2d_p2p_split(xp: jax.Array, w: jax.Array, padding: int, crop: int):
+    """Sum of four per-input-phase convs == the dense embedded conv of
+    conv2d_phase_to_phase (each group conv computes
+    out[t] = sum_d K[d] x_group[t + d + crop] — the same alignment as the
+    dense form's pads, so outputs add elementwise)."""
+    cin = w.shape[2]
+    out = None
+    for g, (K, (dr0, dr1), (dc0, dc1)) in enumerate(_phase_p2p_split_kernels(w, padding)):
+        z = lax.conv_general_dilated(
+            xp[..., g * cin : (g + 1) * cin],
+            K,
+            (1, 1),
+            ((-dr0 - crop, dr1 - crop), (-dc0 - crop, dc1 - crop)),
+            dimension_numbers=DIMSPEC,
+        )
+        out = z if out is None else out + z
+    return out
+
+
+def _p2p_split_enabled(kh: int) -> bool:
+    from floodgan_tpu.core.flags import p2p_split
+
+    return kh >= 3 and p2p_split()
+
+
 def conv2d_phase_to_phase(
     xp: jax.Array,
     w: jax.Array,
@@ -329,14 +392,17 @@ def conv2d_phase_to_phase(
         raise ValueError(f"phase input channels {xp.shape[-1]} not divisible by 4")
     if xp.shape[-1] // 4 != cin:
         raise ValueError(f"phase input implies cin={xp.shape[-1] // 4}, kernel has {cin}")
-    wp, dmin, dmax = _phase_p2p_kernel(w, padding)
-    out = lax.conv_general_dilated(
-        xp,
-        wp,
-        (1, 1),
-        ((-dmin - crop, dmax - crop), (-dmin - crop, dmax - crop)),
-        dimension_numbers=DIMSPEC,
-    )
+    if _p2p_split_enabled(kh):
+        out = _conv2d_p2p_split(xp, w, padding, crop)
+    else:
+        wp, dmin, dmax = _phase_p2p_kernel(w, padding)
+        out = lax.conv_general_dilated(
+            xp,
+            wp,
+            (1, 1),
+            ((-dmin - crop, dmax - crop), (-dmin - crop, dmax - crop)),
+            dimension_numbers=DIMSPEC,
+        )
     if b is not None:
         out = out + jnp.tile(b, 4)
     return out
@@ -456,7 +522,15 @@ def _reflect_conv_phases_composite(xp, w, b, pad, cin):
     def conv(z, pads):
         return lax.conv_general_dilated(z, wp, (1, 1), pads, dimension_numbers=DIMSPEC)
 
-    y = conv(xp, ((q, q), (q, q)))
+    # The interior conv is the dominant cost (the 4.4 ms content-head term
+    # of the round-3 profile); under FLOODGAN_P2P_SPLIT it runs as the four
+    # per-input-phase convs (0.64x MACs — core/flags.p2p_split).  The halo
+    # bands reach only q output rows/cols (O(q/S) of the work) and keep the
+    # dense kernel.
+    if _p2p_split_enabled(w.shape[0]):
+        y = _conv2d_p2p_split(xp, w, pad, 0)
+    else:
+        y = conv(xp, ((q, q), (q, q)))
     if b is not None:
         y = y + jnp.tile(b, 4)
 
@@ -1010,6 +1084,58 @@ def dropout(x: jax.Array, rate: float, rng: jax.Array, deterministic: bool = Fal
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng, p=keep, shape=x.shape)
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def max_pool2d_phases(xp: jax.Array, cin: int) -> jax.Array:
+    """Image-level MaxPool2d(2) evaluated on a 2x2 phase-major tensor.
+
+    The 2x2 stride-2 pool window at output pixel (i, j) contains exactly
+    the four image pixels the phase decomposition stores at phase-grid
+    position (i, j), so the pool is an elementwise max across the four
+    phase blocks — no window reduction, no full-resolution tensor.  The
+    output is the ordinary IMAGE tensor at (n, H/2, W/2, cin): pooling is
+    where the segmentation stem exits phase space (models/unet.py).
+    Exact for even H, W (the decomposition's own requirement).
+
+    Tie routing: the backward scatters each cotangent to the FIRST phase
+    attaining the max (custom VJP) — the same subgradient the image-space
+    ``max_pool2d`` (XLA select-and-scatter) and torch's MaxPool2d pick,
+    and the phase-major channel order IS the window's (row, col) scan
+    order.  This matters in practice: after BN+relu ~7% of stem windows
+    are all-zero ties, and ``jnp.max``'s even-split subgradient would
+    silently diverge the training trajectory between lowerings."""
+    n, h, w, c4 = xp.shape
+    if c4 != 4 * cin:
+        raise ValueError(f"phase input has {c4} channels, expected {4 * cin}")
+    return _max_phases(xp.reshape(n, h, w, 4, cin))
+
+
+@jax.custom_vjp
+def _max_phases(v: jax.Array) -> jax.Array:
+    return jnp.max(v, axis=3)
+
+
+def _max_phases_fwd(v):
+    m = jnp.max(v, axis=3)
+    return m, jnp.argmax(v, axis=3).astype(jnp.int8)  # argmax = first max
+
+
+def _max_phases_bwd(idx, g):
+    sel = idx[:, :, :, None, :] == jnp.arange(4, dtype=jnp.int8)[None, None, None, :, None]
+    return (jnp.where(sel, g[:, :, :, None, :], 0).astype(g.dtype),)
+
+
+_max_phases.defvjp(_max_phases_fwd, _max_phases_bwd)
+
+
+def concat_channels_phases(a: jax.Array, b: jax.Array, ca: int, cb: int) -> jax.Array:
+    """Image-level channel concat [a, b] on 2x2 phase-major tensors: each
+    phase block keeps a's channels first (the U-Net up-path's skip-first
+    contract, reference model_architectures.py:580)."""
+    n, h, w, _ = a.shape
+    return jnp.concatenate(
+        [a.reshape(n, h, w, 4, ca), b.reshape(n, h, w, 4, cb)], axis=-1
+    ).reshape(n, h, w, 4 * (ca + cb))
 
 
 def max_pool2d(x: jax.Array, window: int = 2, stride: Optional[int] = None) -> jax.Array:

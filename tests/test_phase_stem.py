@@ -65,6 +65,62 @@ def test_phase_stem_conv7_with_reflect_pad(rng):
     np.testing.assert_array_equal(np.asarray(got_p), np.asarray(got_c))
 
 
+@pytest.mark.parametrize("k,pad,crop", [(7, 3, 0), (3, 1, 0), (5, 2, 0), (7, 3, 2)])
+def test_conv2d_phase_to_phase_split_matches_dense(rng, k, pad, crop, monkeypatch):
+    """FLOODGAN_P2P_SPLIT (four per-input-phase convs at exact ceil(k/2)
+    extents — no embedded-zero MACs) must equal the dense embedded conv:
+    forward, d-input and d-weight."""
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 5)), jnp.float32)
+    xp = space_to_depth_phases(x)
+    if crop:
+        xp = reflect_pad_phases(xp, pad, 5)
+    w = jnp.asarray(rng.standard_normal((k, k, 5, 8)), jnp.float32) * 0.2
+    b = jnp.asarray(rng.standard_normal((8,)), jnp.float32)
+    g = None
+
+    def run(xp_, w_):
+        return conv2d_phase_to_phase(xp_, w_, padding=pad, b=b, crop=crop)
+
+    want = run(xp, w)
+    g = jnp.asarray(rng.standard_normal(want.shape), jnp.float32)
+    dx_w, dw_w = jax.grad(lambda a, ww: jnp.sum(run(a, ww) * g), (0, 1))(xp, w)
+
+    monkeypatch.setenv("FLOODGAN_P2P_SPLIT", "1")
+    got = run(xp, w)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+    dx_g, dw_g = jax.grad(lambda a, ww: jnp.sum(run(a, ww) * g), (0, 1))(xp, w)
+    np.testing.assert_allclose(np.asarray(dx_g), np.asarray(dx_w), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dw_g), np.asarray(dw_w), atol=2e-3)
+
+
+def test_reflect_conv_phases_composite_split_matches_dense(rng, monkeypatch):
+    """The composite's interior conv under FLOODGAN_P2P_SPLIT equals the
+    dense composite (the halo bands keep the dense kernel either way)."""
+    from floodgan_tpu.ops.nn_ops import _reflect_conv_phases_composite
+
+    cin, S = 5, 12
+    x = jnp.asarray(rng.standard_normal((2, 2 * S, 2 * S, cin)), jnp.float32) * 0.5
+    xp = space_to_depth_phases(x)
+    w = jnp.asarray(rng.standard_normal((7, 7, cin, 6)), jnp.float32) * 0.1
+    b = jnp.asarray(rng.standard_normal((6,)), jnp.float32)
+    want = _reflect_conv_phases_composite(xp, w, b, 3, cin)
+    g = jnp.asarray(rng.standard_normal(want.shape), jnp.float32)
+    dx_w, dw_w = jax.grad(
+        lambda a, ww: jnp.sum(_reflect_conv_phases_composite(a, ww, b, 3, cin) * g),
+        (0, 1),
+    )(xp, w)
+    monkeypatch.setenv("FLOODGAN_P2P_SPLIT", "1")
+    got = _reflect_conv_phases_composite(xp, w, b, 3, cin)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+    dx_g, dw_g = jax.grad(
+        lambda a, ww: jnp.sum(_reflect_conv_phases_composite(a, ww, b, 3, cin) * g),
+        (0, 1),
+    )(xp, w)
+    np.testing.assert_allclose(np.asarray(dx_g), np.asarray(dx_w), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dw_g), np.asarray(dw_w), atol=2e-3)
+
+
 def test_conv2d_s2_phase_input_k3(rng):
     """The generalized stride-2 phase-input lowering at k=3 (the encoder's
     second conv) matches the image-space conv."""

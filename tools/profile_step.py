@@ -77,31 +77,42 @@ def main() -> None:
     from floodgan_tpu.train.paired import PairedTrainer
 
     rng = np.random.default_rng(47)
-    x = jnp.asarray(rng.standard_normal((args.batch, args.size, args.size, 9), dtype=np.float32))
-    y = jnp.asarray(rng.standard_normal((args.batch, args.size, args.size, 3), dtype=np.float32))
+    is_seg = args.model.lower() in ("unet", "segmentation")
+    if is_seg:
+        from floodgan_tpu.train.seg import SegTrainer
 
-    if model_is_cycle(args.model):
+        x = jnp.asarray(rng.standard_normal((args.batch, args.size, args.size, 3), dtype=np.float32))
+        y = jnp.asarray((rng.random((args.batch, args.size, args.size, 1)) > 0.5).astype(np.float32))
+        trainer = SegTrainer(compute_dtype=args.dtype, remat=args.remat)
+        state = trainer.init(jax.random.key(0), x)
+        lr = jnp.float32(1e-4)
+        step = lambda state, i: trainer.train_step(state, x, y, lr)
+    elif model_is_cycle(args.model):
         trainer = CycleTrainer(args.model, 9, compute_dtype=args.dtype, remat=args.remat)
     else:
         trainer = PairedTrainer(args.model, 9, compute_dtype=args.dtype, remat=args.remat)
-    state = trainer.init(jax.random.key(0), x, y)
-    lr = jnp.float32(2e-4)
+    if not is_seg:
+        x = jnp.asarray(rng.standard_normal((args.batch, args.size, args.size, 9), dtype=np.float32))
+        y = jnp.asarray(rng.standard_normal((args.batch, args.size, args.size, 3), dtype=np.float32))
+        state = trainer.init(jax.random.key(0), x, y)
+        lr = jnp.float32(2e-4)
 
-    # Same layout real training feeds (pipeline-side prep, e.g. phase-major
-    # for the attention phase step) so the profiled program is the bench one.
-    x, y = trainer.prepare_batch(x, y)
+        # Same layout real training feeds (pipeline-side prep, e.g. phase-major
+        # for the attention phase step) so the profiled program is the bench one.
+        x, y = trainer.prepare_batch(x, y)
+        step = lambda state, i: trainer.train_step(state, x, y, lr, jax.random.key(i))
 
     def sync(metrics):
         return float(jax.device_get(next(iter(metrics.values()))))
 
     for i in range(3):
-        state, metrics = trainer.train_step(state, x, y, lr, jax.random.key(i))
+        state, metrics = step(state, i)
     sync(metrics)
 
     prof_dir = args.out or tempfile.mkdtemp(prefix="floodgan_prof_")
     jax.profiler.start_trace(prof_dir)
     for i in range(args.steps):
-        state, metrics = trainer.train_step(state, x, y, lr, jax.random.key(100 + i))
+        state, metrics = step(state, 100 + i)
     sync(metrics)
     jax.profiler.stop_trace()
 
