@@ -91,21 +91,27 @@ def seg_phase() -> bool:
     ConvTranspose+DoubleConv and the 1x1 outc all evaluate on
     space-to-depth tensors — (H/2, W/2, 4C) instead of (H, W, C).
 
-    Why: the U-Net's 512^2-level convs carry 64 channels, half the 128
-    MXU lanes, and are the measured gap between the seg family (49.6%
-    MFU) and the headline (63%).  Their phase forms are 256-channel
-    convs at quarter the rows — full lanes, identical MACs.  The 2x2
-    maxpool that ends the stem is an elementwise max over the four phase
-    blocks (ops.max_pool2d_phases) and the k2 s2 up-conv emits phases as
-    four dense taps (ops.conv_transpose2d_phase_out), so neither end of
-    the net ever materializes a full-resolution 64-channel tensor.
+    Why tried: the U-Net's 512^2-level convs carry 64 channels, half the
+    128 MXU lanes, and are the measured gap between the seg family
+    (49.6% MFU) and the headline (63%).  Their phase forms are
+    256-channel convs at quarter the rows — full lanes.  The 2x2 maxpool
+    that ends the stem is an elementwise max over the four phase blocks
+    (ops.max_pool2d_phases) and the k2 s2 up-conv emits phases as four
+    dense taps (ops.conv_transpose2d_phase_out), so neither end of the
+    net ever materializes a full-resolution 64-channel tensor.
     Parameters are the ordinary image-space kernels either way —
     checkpoints are layout-independent (golden-tested in
     tests/test_seg_phase.py).
 
-    Default OFF pending the on-chip measurement (this flag's default is
-    set by measurement like every other — BENCH_NOTES).
-    FLOODGAN_SEG_PHASE=1 enables."""
+    Default OFF — measured-and-REJECTED on v5e (512^2 b16, BENCH_NOTES
+    round 4): 76.49 samples/s phase vs 85.11 image-space.  The k3
+    phase-to-phase embedding executes 64 cin*cout MACs per phase cell
+    where the image conv does 36 (1.78x — and the k3 per-input-phase
+    split form removes none of it, unlike k5/k7), which cancels the 2x
+    lane win and loses ~10% net.  Phase space pays off for k5/k7 stems
+    over few-channel inputs (the attention family), not for k3 over
+    64-channel levels.  FLOODGAN_SEG_PHASE=1 enables for re-measurement
+    on other backends."""
     return _env_bool("FLOODGAN_SEG_PHASE", False)
 
 

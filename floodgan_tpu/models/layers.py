@@ -165,7 +165,20 @@ class TorchBatchNorm(nn.Module):
     """
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, phases: bool = False):
+        if phases:
+            # x is 2x2 phase-major (n, H/2, W/2, 4C).  BN statistics pool
+            # over every (N, H, W) pixel of each image channel, and the
+            # phase grouping only permutes pixels — folding the phase axis
+            # into a spatial dim reuses ops.batch_norm (and its
+            # closed-form VJP) unchanged.  Parameters stay the image-space
+            # (C,) vectors, so checkpoints are layout-independent.
+            c = x.shape[-1] // 4
+            scale = self.param("scale", bn_scale_init, (c,))
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+            n, h, w, _ = x.shape
+            y = ops.batch_norm(x.reshape(n, h, w * 4, c), scale, bias)
+            return y.reshape(n, h, w, 4 * c)
         c = x.shape[-1]
         scale = self.param("scale", bn_scale_init, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
