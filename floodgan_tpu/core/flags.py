@@ -168,6 +168,44 @@ def p2p_split() -> bool:
     return _env_bool("FLOODGAN_P2P_SPLIT", False)
 
 
+def mxu_stats() -> str:
+    """Where the instance-norm statistics reductions run: "" (default,
+    VPU convert+reduce chains fused by XLA), "fwd" (the forward
+    sum-of-squares rides the MXU as the diagonal of a Gram matmul
+    x^T x with f32 accumulation — the round-4 profile's 5.2 ms
+    convert_reduce fusion is per-channel stats over a (8, 256^2, 256)
+    head tensor, ~381M VPU element-converts that a 69 GFLOP batched
+    matmul replaces at ~0.35 ms of MXU time), or "all" (backward
+    m2 = sum(g * yhat) reduces take the same route as diag(g^T yhat)).
+
+    Numerics: bf16 operands accumulate in f32 on the MXU — the same
+    values the VPU path converts and sums, reassociated; golden-tested
+    against the VPU path at allclose tolerance (tests/test_fused_grads).
+
+    Default OFF — measured-and-REJECTED on v5e (headline config, same
+    session: control 67.13, fwd 63.82, all 56.46 samples/s).  The step
+    is MXU-bound: the VPU convert+reduce chains ride in fusions that
+    OVERLAP the convolutions, so they are free, while the Gram matmuls
+    add real MXU cycles (69 GFLOP each for the 256-ch head stats) on
+    the critical resource plus layout copies of their operands.  Same
+    lesson as flat_compose: visible-in-the-profile VPU/DMA time is not
+    necessarily stall time.  Kept opt-in as the measured record."""
+    env = os.environ.get("FLOODGAN_MXU_STATS")
+    if env is None:
+        return ""
+    v = env.lower()
+    if v in _FALSY:
+        return ""
+    if v in ("fwd", "all"):
+        return v
+    if v in _TRUTHY:
+        return "all"
+    raise ValueError(
+        f"FLOODGAN_MXU_STATS: unrecognized value {env!r}; expected "
+        "0/off, fwd, all, or 1/on (= all)"
+    )
+
+
 def custom_vjp_norms() -> bool:
     """Whether the norm/pad chains use the hand-derived closed-form VJPs
     (ops/fused_grads.py) instead of autodiff through the statistics

@@ -313,3 +313,43 @@ def test_reflect_conv2d_matches_pad_plus_conv(rng, pad, dtype):
     # the legacy pair sums 336 bf16 terms — compare against the f32 truth
     db_true = np.sum(np.asarray(cot, np.float32), axis=(0, 1, 2))
     np.testing.assert_allclose(np.asarray(gn[2], np.float32), db_true, rtol=tol, atol=tol)
+
+
+@pytest.mark.parametrize("mode", ["fwd", "all"])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_mxu_stats_matches_vpu_path(rng, dtype, mode, monkeypatch):
+    """FLOODGAN_MXU_STATS (sum-of-squares / m2 reduces as Gram-matmul
+    diagonals with f32 accumulation) must match the VPU convert+reduce
+    path to reassociation tolerance — forward and gradients, image-space
+    and phase-major IN."""
+    x = _rand(rng, (2, 16, 16, 8), dtype)
+    cot = _rand(rng, x.shape, dtype)
+
+    def loss(x):
+        return jnp.sum(
+            fused_grads.in_act(x, True, 0.0).astype(jnp.float32)
+            * cot.astype(jnp.float32)
+        )
+
+    def loss_p(x):
+        return jnp.sum(
+            fused_grads.in_act_phases(x, 2, True, 0.0).astype(jnp.float32)
+            * cot.astype(jnp.float32)
+        )
+
+    monkeypatch.setenv("FLOODGAN_MXU_STATS", "0")
+    want, gw = jax.value_and_grad(loss)(x)
+    want_p, gw_p = jax.value_and_grad(loss_p)(x)
+    monkeypatch.setenv("FLOODGAN_MXU_STATS", mode)
+    got, gm = jax.value_and_grad(loss)(x)
+    got_p, gm_p = jax.value_and_grad(loss_p)(x)
+
+    tol = dict(rtol=1e-5, atol=1e-5) if dtype == jnp.float32 else dict(rtol=0.02, atol=0.02)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    np.testing.assert_allclose(float(got_p), float(want_p), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gm, np.float32), np.asarray(gw, np.float32), **tol
+    )
+    np.testing.assert_allclose(
+        np.asarray(gm_p, np.float32), np.asarray(gw_p, np.float32), **tol
+    )
