@@ -117,7 +117,7 @@ class UNet(nn.Module):
             hp = TorchConvTranspose(
                 in_ch // 2, 2, 2, 0, use_bias=True, name="up4_upconv"
             )(h, phase_out=True)
-            hp = concat_channels_phases(x1p, hp, 64, in_ch // 2)
+            hp = concat_channels_phases([(x1p, 64), (hp, in_ch // 2)])
             hp = DoubleConv(64, name="up4_conv")(hp, phase_cin=64 + in_ch // 2)
             logits_p = TorchConv(self.n_classes, 1, 1, 0, name="outc")(
                 hp, phase_p2p=(0, 64)

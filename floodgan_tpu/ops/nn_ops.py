@@ -1128,16 +1128,6 @@ def _max_phases_bwd(idx, g):
 _max_phases.defvjp(_max_phases_fwd, _max_phases_bwd)
 
 
-def concat_channels_phases(a: jax.Array, b: jax.Array, ca: int, cb: int) -> jax.Array:
-    """Image-level channel concat [a, b] on 2x2 phase-major tensors: each
-    phase block keeps a's channels first (the U-Net up-path's skip-first
-    contract, reference model_architectures.py:580)."""
-    n, h, w, _ = a.shape
-    return jnp.concatenate(
-        [a.reshape(n, h, w, 4, ca), b.reshape(n, h, w, 4, cb)], axis=-1
-    ).reshape(n, h, w, 4 * (ca + cb))
-
-
 def max_pool2d(x: jax.Array, window: int = 2, stride: Optional[int] = None) -> jax.Array:
     """torch.nn.MaxPool2d(window) twin (no padding)."""
     stride = stride or window

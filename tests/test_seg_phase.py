@@ -36,7 +36,7 @@ def test_concat_channels_phases_matches_image(rng):
     b = jnp.asarray(rng.standard_normal((2, 8, 8, 5)), jnp.float32)
     want = space_to_depth_phases(jnp.concatenate([a, b], axis=-1))
     got = concat_channels_phases(
-        space_to_depth_phases(a), space_to_depth_phases(b), 3, 5
+        [(space_to_depth_phases(a), 3), (space_to_depth_phases(b), 5)]
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
