@@ -206,6 +206,27 @@ def mxu_stats() -> str:
     )
 
 
+def post_transform_cache() -> bool:
+    """Whether BatchLoader caches POST-transform samples (the exact
+    device-side transform outputs, fetched to host once) so epochs >= 2
+    skip TIFF decode AND the transform, and ship the small feed tensors
+    instead of raw stacks.
+
+    The transform (flip -> slice -> resize -> crop -> normalise,
+    data/transforms.py) is epoch-invariant per sample: flip/crop_index
+    are per-sample-static dataset attributes and resize/normalise are
+    deterministic, so the cache key is just the sample index.  At the
+    headline config this cuts the wire from 50.3 MB/sample (raw 1024^2
+    x12ch f32) to 12.6 MB (512^2 x(9+3) f32) and drops the decode-core
+    requirement to ~0 after epoch 1 (measured budget table in
+    BENCH_NOTES round 5).  Cached arrays are bit-identical to the
+    transform path's outputs (device_get of the same jitted program);
+    pinned by tests/test_data.py::test_post_transform_cache_*.
+    FLOODGAN_POST_CACHE=0 disables; FLOODGAN_POST_CACHE_BYTES bounds
+    the per-dataset host RAM (default 4 GiB)."""
+    return _env_bool("FLOODGAN_POST_CACHE", True)
+
+
 def custom_vjp_norms() -> bool:
     """Whether the norm/pad chains use the hand-derived closed-form VJPs
     (ops/fused_grads.py) instead of autodiff through the statistics

@@ -33,15 +33,23 @@ from floodgan_tpu.data.transforms import apply_transformations_batch
 
 
 class _LruBytesCache:
-    """Bytes-bounded LRU cache of decoded arrays (the dataset is small —
-    ~2.3k stacks — so hot subsets fit in RAM and TIFF decode vanishes from
-    the steady-state loop)."""
+    """Bytes-bounded LRU cache of decoded arrays — or tuples of arrays
+    (the post-transform cache stores (input, output) pairs under one key
+    so eviction never splits a sample).  The dataset is small (~2.3k
+    stacks), so hot subsets fit in RAM and TIFF decode vanishes from the
+    steady-state loop."""
 
     def __init__(self, max_bytes: int):
         self.max_bytes = max_bytes
-        self._store: "collections.OrderedDict[str, np.ndarray]" = collections.OrderedDict()
+        self._store: "collections.OrderedDict" = collections.OrderedDict()
         self._bytes = 0
         self._lock = threading.Lock()
+
+    @staticmethod
+    def _nbytes(value) -> int:
+        if isinstance(value, tuple):
+            return sum(a.nbytes for a in value)
+        return value.nbytes
 
     def get(self, key: str):
         with self._lock:
@@ -50,20 +58,21 @@ class _LruBytesCache:
                 self._store.move_to_end(key)
             return arr
 
-    def put(self, key: str, arr: np.ndarray):
-        if arr.nbytes > self.max_bytes:
+    def put(self, key: str, value):
+        if self._nbytes(value) > self.max_bytes:
             return
         with self._lock:
             if key in self._store:
                 return
-            self._store[key] = arr
-            self._bytes += arr.nbytes
+            self._store[key] = value
+            self._bytes += self._nbytes(value)
             while self._bytes > self.max_bytes:
                 _, old = self._store.popitem(last=False)
-                self._bytes -= old.nbytes
+                self._bytes -= self._nbytes(old)
 
 
 _DEFAULT_CACHE_BYTES = int(os.environ.get("FLOODGAN_DECODE_CACHE_BYTES", 4 << 30))
+_DEFAULT_POST_CACHE_BYTES = int(os.environ.get("FLOODGAN_POST_CACHE_BYTES", 4 << 30))
 
 
 class FloodDataset:
@@ -90,6 +99,11 @@ class FloodDataset:
         self.resize = resize
         self.crop = crop
         self._cache = _LruBytesCache(cache_bytes)
+        # Post-transform sample cache (core/flags.py post_transform_cache):
+        # keyed by sample index — index identity already pins
+        # (file, version/flip, crop_index), and the transform config
+        # (topography/resize/crop) is fixed per dataset instance.
+        self._post_cache = _LruBytesCache(_DEFAULT_POST_CACHE_BYTES)
         self._raw_shape = None
 
     def __len__(self) -> int:
@@ -236,6 +250,9 @@ class BatchLoader:
                 # the consumer's train step (JAX dispatch is thread-safe
                 # and async).  Previously _assemble ran on the consumer
                 # thread at yield time, serializing H2D with the step.
+                cached = self._assemble_from_post_cache(idx_batch)
+                if cached is not None:
+                    return cached
                 return self._assemble(idx_batch, self._load_raw_batch(idx_batch))
 
             def submit(idx_batch):
@@ -274,6 +291,32 @@ class BatchLoader:
                 ]
         return [ds.read_raw(int(i)) for i in idx_batch]
 
+    def _post_cache_active(self) -> bool:
+        from floodgan_tpu.core import flags
+
+        return (
+            self.transform
+            and isinstance(self.dataset, FloodDataset)
+            and flags.post_transform_cache()
+        )
+
+    def _assemble_from_post_cache(self, idx_batch) -> Optional[Batch]:
+        """Steady-state fast path: every sample's POST-transform pair is
+        host-cached (exact transform outputs, fetched once in _assemble),
+        so the batch is a stack + H2D of the small feed tensors — no TIFF
+        decode, no transform, ~4x fewer wire bytes at the headline config
+        (12.6 vs 50.3 MB/sample).  Falls through to the raw path (None)
+        if any sample is missing (first epoch, or LRU eviction)."""
+        if not self._post_cache_active():
+            return None
+        pairs = [self.dataset._post_cache.get(str(int(i))) for i in idx_batch]
+        if any(p is None for p in pairs):
+            return None
+        inp = jax.numpy.asarray(np.stack([p[0] for p in pairs]))
+        out = jax.numpy.asarray(np.stack([p[1] for p in pairs]))
+        names = [self.dataset.name(int(i)) for i in idx_batch]
+        return {"input": inp, "output": out, "names": names}
+
     def _assemble(self, idx_batch, raws) -> Batch:
         inputs = np.stack([r[0] for r in raws])
         outputs = np.stack([r[1] for r in raws])
@@ -300,6 +343,20 @@ class BatchLoader:
                 resize=self.dataset.resize,
                 crop=self.dataset.crop,
             )
+            if self._post_cache_active():
+                # One D2H fetch of the transform's own outputs populates
+                # the steady-state fast path (bit-identical by
+                # construction).  Copies break the view into the batch so
+                # the cache holds per-sample bytes, not whole batches.
+                host_in, host_out = jax.device_get((inp, out))
+                for k, i in enumerate(idx_batch):
+                    self.dataset._post_cache.put(
+                        str(int(i)),
+                        (
+                            np.ascontiguousarray(host_in[k]),
+                            np.ascontiguousarray(host_out[k]),
+                        ),
+                    )
         else:
             # Mask pairs: flip only; no resize/crop/normalise in the
             # reference mask path (models/data.py:191-196).  This branch

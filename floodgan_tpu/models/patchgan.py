@@ -38,6 +38,21 @@ class PatchGANDiscriminator(nn.Module):
         parameters are identical between the two calling conventions."""
         use_bias = self.norm != "batch"
 
+        # The patch head is three stride-2 convs then two k4 s1 p1 convs
+        # (each -1): below 24 pixels the logit map has no elements and the
+        # LSGAN mean over it is silently NaN under XLA (torch errors out at
+        # the zero-size conv).  Fail loudly like the Pix2Pix U-Net's
+        # divisibility check does.
+        scale = 2 if phase_splits is not None else 1
+        h_in, w_in = x.shape[1] * scale, x.shape[2] * scale
+        if h_in // 8 - 2 < 1 or w_in // 8 - 2 < 1:
+            raise ValueError(
+                "PatchGAN needs spatial dims >= 24 (three stride-2 levels "
+                f"then two k4 s1 p1 convs); got {h_in}x{w_in}.  Use "
+                "--resize 256/512 (optionally with --crop) like the "
+                "reference configurations."
+            )
+
         def normed_lrelu(h, name):
             if self.norm == "batch":
                 return ops.leaky_relu(TorchBatchNorm(name=name)(h), 0.2)

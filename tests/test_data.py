@@ -224,6 +224,46 @@ def test_flood_loader_end_to_end(tmp_path):
     assert names1 != names3
 
 
+def test_post_transform_cache_exact_and_decode_free(tmp_path):
+    """Epoch >= 2 batches come from the post-transform cache: values are
+    bit-identical to the decode+transform path, and neither decode nor the
+    transform runs at all (the raw loader is poisoned for the second
+    pass)."""
+    data_path, meta_dir = make_flood_fixture(tmp_path, size=32)
+    train, _, _ = create_flood_dataset(
+        "usa", "same", data_path, topography="map", resize=16, crop=4,
+        batch_size=2, metadata_dir=meta_dir,
+    )
+    first = [(np.asarray(b["input"]), np.asarray(b["output"]), b["names"])
+             for b in train.epoch_iter(epoch=5)]
+
+    def poisoned(idx_batch):
+        raise AssertionError("raw decode path ran despite a warm post-transform cache")
+
+    train._load_raw_batch = poisoned
+    second = [(np.asarray(b["input"]), np.asarray(b["output"]), b["names"])
+              for b in train.epoch_iter(epoch=5)]
+    assert len(first) == len(second)
+    for (i1, o1, n1), (i2, o2, n2) in zip(first, second):
+        assert n1 == n2
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(o1, o2)
+
+
+def test_post_transform_cache_flag_off(tmp_path, monkeypatch):
+    """FLOODGAN_POST_CACHE=0 keeps every epoch on the raw decode+transform
+    path (no cache population, no fast path)."""
+    monkeypatch.setenv("FLOODGAN_POST_CACHE", "0")
+    data_path, meta_dir = make_flood_fixture(tmp_path, size=32)
+    train, _, _ = create_flood_dataset(
+        "usa", "same", data_path, topography="all", resize=16, crop=None,
+        batch_size=2, metadata_dir=meta_dir,
+    )
+    list(train.epoch_iter(epoch=1))
+    assert len(train.dataset._post_cache._store) == 0
+    assert train._assemble_from_post_cache([0, 1]) is None
+
+
 def test_masks_loader_end_to_end(tmp_path):
     data_path, meta_dir = make_masks_fixture(tmp_path, size=32)
     train, val, test = create_masks_dataset("usa", data_path, False, metadata_dir=meta_dir)
