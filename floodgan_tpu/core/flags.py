@@ -6,6 +6,27 @@ table summarizes them).  All boolean flags accept the same value
 conventions: 1/true/on/yes enable, 0/false/off/no/"" disable
 (case-insensitive), so e.g. FLOODGAN_PHASE_HEAD=off and
 FLOODGAN_CUSTOM_VJP=off behave consistently.
+
+Taxonomy (every flag is one of three kinds; the per-flag docstrings
+carry the measurement record):
+
+- MEASURED DEFAULTS (on unless overridden): PHASE_HEAD, CUSTOM_VJP,
+  NORM_BF16, XLA_OPTIONS, POST_CACHE, plus FLOODGAN_PHASEFOLD /
+  FLOODGAN_CYCLE_PHASE / FLOODGAN_PHASE_STEP / FLOODGAN_PHASE_STEM /
+  FLOODGAN_TRUNK_UNROLL read at their op/trainer sites.
+- MEASURED-AND-REJECTED lowerings, kept opt-in as the measured record
+  with golden tests (default OFF; enabling is for re-measurement on
+  other backends/XLA versions, each REGRESSES the v5e headline):
+  PALLAS, FLAT_COMPOSE, MERGED_DECONV1, P2P_SPLIT, MXU_STATS,
+  SEG_PHASE, plus FLOODGAN_PHASEFOLD_S2 / FLOODGAN_SUBPIXEL_CONVT /
+  FLOODGAN_PHASE_OUT_SPLIT at their op sites.  Guarded against
+  composition bugs by tests/test_flag_matrix.py (each flag x the
+  default step composition — motivated by the round-4
+  concat_channels_phases shadowing bug, commit 0638851).
+- UTILITY (behavioral switches, not perf lowerings): WIRE_DTYPE,
+  DECODE_CACHE_BYTES, POST_CACHE_BYTES, DISABLE_NATIVE, CYCLE_PHASE_D,
+  SERVE_MAX_BATCH, BENCH_STRICT, PIPELINE_DATA, LPIPS_WEIGHTS,
+  LPIPS_FALLBACK.
 """
 
 from __future__ import annotations
@@ -137,11 +158,15 @@ def merged_deconv1() -> bool:
     (two ConvTranspose 256->128 over the SAME trunk output) run as ONE
     conv pass with concatenated kernels (+ one instance norm over the
     256 concatenated channels — per-channel statistics, so exactly the
-    two separate norms).  Reads the trunk output once instead of twice
-    and halves the stage's per-op overhead.  Opt-in pending an on-chip
-    measurement (the next sub-ms headline candidate per the round-3
-    accounting); parameters/checkpoints identical either way.
-    FLOODGAN_MERGED_DECONV1=1 enables."""
+    two separate norms).  Parameters/checkpoints identical either way.
+
+    Default OFF — measured-and-REJECTED on v5e (512^2 b8 headline,
+    BENCH_NOTES round 3): 64.23 samples/s merged vs 65.45 separate.
+    Merging SERIALISES the two head branches at their entry point —
+    separate deconv1s let XLA overlap the content and attention chains,
+    and the duplicated trunk read was already an async DMA riding under
+    compute.  Kept opt-in as the measured record.
+    FLOODGAN_MERGED_DECONV1=1 enables for re-measurement."""
     return _env_bool("FLOODGAN_MERGED_DECONV1", False)
 
 

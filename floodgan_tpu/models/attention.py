@@ -56,11 +56,13 @@ class AttentionGenerator(nn.Module):
     def _deconv1_pair(self, h, checkpoint_name):
         """The content/attention deconv1 stages (ConvTranspose 256->128 +
         IN/relu, both over the SAME trunk output).  Under
-        FLOODGAN_MERGED_DECONV1 (opt-in, awaiting on-chip measurement)
-        they run as ONE conv with concatenated kernels + one IN over the
-        256 concatenated channels — exactly the two separate stages,
-        since instance norm statistics are per-channel.  Parameter names,
-        shapes and init are identical either way (ConvTransposeParams)."""
+        FLOODGAN_MERGED_DECONV1 (opt-in; measured-and-REJECTED on v5e —
+        64.23 vs 65.45 samples/s, BENCH_NOTES round 3: merging serialises
+        the two head branches XLA otherwise overlaps) they run as ONE
+        conv with concatenated kernels + one IN over the 256 concatenated
+        channels — exactly the two separate stages, since instance norm
+        statistics are per-channel.  Parameter names, shapes and init are
+        identical either way (ConvTransposeParams)."""
         from floodgan_tpu.core.flags import merged_deconv1
         from floodgan_tpu.models.layers import ConvTransposeParams
 

@@ -867,8 +867,10 @@ def conv_transpose2d(
       (k-1-p, k-1-p+op), spatial-flip(W)) — one lhs-dilated XLA conv.
     - "subpixel": decompose the stride-2 transpose into s*s ordinary
       stride-1 convs (one per output phase) + pixel-shuffle interleave;
-      every conv is dense on the MXU with no dilation (often faster on
-      TPU).  Auto-selected policy via FLOODGAN_SUBPIXEL_CONVT.
+      every conv is dense on the MXU with no dilation.  Measured a WASH
+      on v5e (3.7 vs 3.8 ms at the deconv1 shape, BENCH_NOTES round 1 —
+      XLA already lowers lhs-dilation well), so the default stays
+      "dilated"; FLOODGAN_SUBPIXEL_CONVT=1 opts in for re-measurement.
     """
     if method is None:
         import os
