@@ -1,0 +1,388 @@
+"""Horizon-parity tests (round-5 VERDICT item 4): 60 training steps vs the
+reference recipe executed in torch — crossing the LR-decay knee (epoch
+num_epochs/2, reference models/model.py:175-181) and, for the cycle
+family, the 50-image replay-buffer fill boundary (models/model.py:275-294).
+
+The 2-step goldens (test_train_steps.py) prove the per-step math; these
+prove the *trajectory*: optimizer-state evolution (Adam moments imported
+and compared through the same layout spec), the LambdaLR schedule under
+evolved state, steady-state replay-buffer dynamics (RNG-coupled to our
+device buffer's decisions AND slot-coupled content), and bounded f32
+drift.  Per-epoch loss means (the all_losses bookkeeping quantity,
+models/model.py:327-328) are pinned tighter than the per-step values.
+
+Free-running GAN steps amplify f32 reassociation noise chaotically
+(measured: exact at step 1, ~1e-3 by step 5, order-1 by step ~15 — the
+adversarial D/G losses are Lyapunov-unstable to parameter perturbations),
+so an uncoupled 60-step comparison cannot distinguish drift from bugs.
+The design here RESYNCS our state from torch at every epoch boundary
+(params + Adam moments + replay-buffer slots); each epoch is then a
+10-step golden launched from the evolved torch state, which is exactly
+what detects recipe bugs (wrong schedule, buffer policy, moment handling)
+while bounding chaos to one epoch's growth.
+"""
+
+import importlib.util
+import itertools
+import pathlib
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from floodgan_tpu.core.config import lambda_rule
+from floodgan_tpu.train import CycleTrainer, PairedTrainer
+from floodgan_tpu.train.cycle import CycleState, ImageBuffer
+from floodgan_tpu.train.paired import PairedState
+from floodgan_tpu.utils import torch_import as ti
+
+_REF = pathlib.Path("/root/reference/models/model_architectures.py")
+pytestmark = pytest.mark.skipif(not _REF.exists(), reason="reference checkout not present")
+
+NUM_EPOCHS = 6
+STEPS_PER_EPOCH = 10
+# The cycle step's 6-network composition amplifies f32 noise ~3x faster
+# per step than the paired step (measured: worst key ~13% by a 10-step
+# epoch's end vs ~1% at step 5), so the cycle test resyncs twice as
+# often — same 60 steps, same knee (epoch 6 of 12), same buffer fill
+# boundary (items 50-60), tighter per-step bounds.
+CYCLE_NUM_EPOCHS = 12
+CYCLE_STEPS_PER_EPOCH = 5
+
+
+@pytest.fixture(scope="module")
+def ref():
+    spec = importlib.util.spec_from_file_location("ref_arch_horizon", _REF)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _nhwc(x_nchw):
+    return jnp.asarray(x_nchw.transpose(0, 2, 3, 1))
+
+
+def _ref_lambda(num_epochs):
+    return lambda epoch: 1.0 - max(0, epoch + 1 - (num_epochs / 2)) / float(
+        (num_epochs / 2) + 1
+    )
+
+
+def _adam_state_from_torch(spec, named_params, opt, count, finalize=None):
+    """Rebuild optax's ScaleByAdamState from a torch Adam's exp_avg /
+    exp_avg_sq through the SAME layout spec used for parameters (optax
+    mu/nu are the identical pre-bias-correction EMAs; count == torch
+    'step')."""
+    import optax
+
+    named = list(named_params)
+    mu = ti.params_from_torch(spec, [(n, opt.state[p]["exp_avg"]) for n, p in named])
+    nu = ti.params_from_torch(spec, [(n, opt.state[p]["exp_avg_sq"]) for n, p in named])
+    if finalize is not None:
+        mu, nu = finalize(mu), finalize(nu)
+    return optax.ScaleByAdamState(
+        count=jnp.asarray(count, jnp.int32),
+        mu=jax.tree_util.tree_map(jnp.asarray, mu),
+        nu=jax.tree_util.tree_map(jnp.asarray, nu),
+    )
+
+
+def _assert_trajectories(step_logs, epoch_tol, step_tol,
+                         num_epochs=NUM_EPOCHS, steps_per_epoch=STEPS_PER_EPOCH):
+    """step_logs: list of {key: (ours, torch)} per step.  Per-step values
+    within step_tol; per-epoch means (the all_losses quantity) within
+    epoch_tol."""
+    keys = sorted({k for log in step_logs for k in log})
+    for k in keys:
+        ours = np.array([log[k][0] for log in step_logs])
+        want = np.array([log[k][1] for log in step_logs])
+        np.testing.assert_allclose(ours, want, rtol=step_tol, atol=step_tol / 10,
+                                   err_msg=f"per-step {k}")
+        om = ours.reshape(num_epochs, steps_per_epoch).mean(axis=1)
+        wm = want.reshape(num_epochs, steps_per_epoch).mean(axis=1)
+        np.testing.assert_allclose(om, wm, rtol=epoch_tol, atol=epoch_tol / 10,
+                                   err_msg=f"per-epoch mean {k}")
+
+
+@pytest.mark.slow
+def test_paired_horizon_matches_reference_recipe(ref, rng):
+    """60 PairedAttention paired steps at 64^2 across the LR knee."""
+    C = 9
+    torch.manual_seed(47)
+    tg = ref.PairedAttentionGenerator(input_channels=C).train()
+    td = ref.PairedAttentionDiscriminator(input_channels=C).train()
+    opt_g = torch.optim.Adam(tg.parameters(), lr=2e-4, betas=(0.5, 0.999))
+    opt_d = torch.optim.Adam(td.parameters(), lr=2e-4, betas=(0.5, 0.999))
+    rule = _ref_lambda(NUM_EPOCHS)
+    sch_g = torch.optim.lr_scheduler.LambdaLR(opt_g, rule)
+    sch_d = torch.optim.lr_scheduler.LambdaLR(opt_d, rule)
+
+    trainer = PairedTrainer("pairedattention", C, dropout_rate=0.0, phase_step=False)
+    fin = lambda t: ti.finalize_generator_params("pairedattention", t)
+
+    def sync_state(count):
+        """Epoch-boundary resync from the evolved torch state (see module
+        docstring): params + Adam moments through the same layout specs."""
+        gen_params = fin(
+            ti.params_from_torch(ti.attention_generator_spec(), list(tg.named_parameters()))
+        )
+        disc_params = ti.params_from_torch(
+            ti.patchgan_spec("instance"), list(td.named_parameters())
+        )
+        if count == 0:
+            gen_opt = trainer.tx.init(gen_params)
+            disc_opt = trainer.tx.init(disc_params)
+        else:
+            gen_opt = _adam_state_from_torch(
+                ti.attention_generator_spec(), tg.named_parameters(), opt_g, count, fin
+            )
+            disc_opt = _adam_state_from_torch(
+                ti.patchgan_spec("instance"), td.named_parameters(), opt_d, count
+            )
+        return PairedState(
+            gen_params=gen_params, disc_params=disc_params,
+            gen_opt=gen_opt, disc_opt=disc_opt,
+        )
+
+    logs = []
+    count = 0
+    for epoch in range(NUM_EPOCHS):
+        state = sync_state(count)
+        lr = 2e-4 * lambda_rule(epoch, NUM_EPOCHS)
+        # schedule parity: our closed form == torch's LambdaLR state
+        np.testing.assert_allclose(lr, opt_g.param_groups[0]["lr"], rtol=1e-12)
+        for _ in range(STEPS_PER_EPOCH):
+            x = rng.standard_normal((1, C, 64, 64), dtype=np.float32) * 0.5
+            y = rng.standard_normal((1, 3, 64, 64), dtype=np.float32) * 0.5
+            tx_, ty = torch.from_numpy(x), torch.from_numpy(y)
+
+            synthetic = tg(tx_)
+            concat_real = torch.cat((tx_, ty), 1)
+            concat_syn = torch.cat((tx_, synthetic), 1)
+            opt_d.zero_grad()
+            pred_syn = td(concat_syn.detach())
+            loss_d_syn = torch.nn.functional.mse_loss(pred_syn, torch.zeros_like(pred_syn))
+            pred_real = td(concat_real)
+            loss_d_real = torch.nn.functional.mse_loss(pred_real, torch.ones_like(pred_real))
+            ((loss_d_syn + loss_d_real) * 0.5).backward()
+            opt_d.step()
+            for p in td.parameters():
+                p.requires_grad = False
+            opt_g.zero_grad()
+            pred = td(concat_syn)
+            loss_g_adv = torch.nn.functional.mse_loss(pred, torch.ones_like(pred))
+            loss_g_l1 = torch.nn.functional.l1_loss(synthetic, ty) * 100
+            (loss_g_adv + loss_g_l1).backward()
+            opt_g.step()
+            for p in td.parameters():
+                p.requires_grad = True
+
+            state, m = trainer.train_step(
+                state, _nhwc(x), _nhwc(y), jnp.float32(lr), jax.random.key(0)
+            )
+            logs.append({
+                "losses_discriminator_synthetic": (float(m["losses_discriminator_synthetic"]), loss_d_syn.item()),
+                "losses_discriminator_real": (float(m["losses_discriminator_real"]), loss_d_real.item()),
+                "losses_generator_synthetic": (float(m["losses_generator_synthetic"]), loss_g_adv.item()),
+                "l1_losses_generator_synthetic": (float(m["l1_losses_generator_synthetic"]), loss_g_l1.item()),
+            })
+            count += 1
+        sch_g.step()
+        sch_d.step()
+    _assert_trajectories(logs, epoch_tol=5e-3, step_tol=1e-2)
+
+
+class _RefBuffer:
+    """The reference replay buffer (models/model.py:275-294) with its two
+    random draws (swap coin, slot index) injected — driven below by the
+    SAME jax.random decisions our device ImageBuffer computes, so both
+    sides make identical swap choices and the trajectories stay coupled
+    past the fill boundary."""
+
+    def __init__(self, capacity=50):
+        self.capacity = capacity
+        self.items = []
+
+    def query(self, image, p, rand_ix):
+        if len(self.items) < self.capacity:
+            self.items.append(image.detach().clone())
+            return image
+        if p > 0.5:
+            old = self.items[rand_ix].clone()
+            self.items[rand_ix] = image.detach().clone()
+            return old
+        return image
+
+
+def _buffer_decisions(step_key, capacity):
+    """Replicate the key-splitting inside CycleTrainer._train_step →
+    ImageBuffer.query_batch → query for batch size 1: returns
+    ((p_pre, ix_pre), (p_post, ix_post))."""
+    k_pre, k_post = jax.random.split(step_key)
+    out = []
+    for k in (k_pre, k_post):
+        (item_key,) = jax.random.split(k, 1)
+        kp, ki = jax.random.split(item_key)
+        p = float(jax.random.uniform(kp))
+        ix = int(jax.random.randint(ki, (), 0, capacity))
+        out.append((p, ix))
+    return out
+
+
+@pytest.mark.slow
+def test_cycle_horizon_matches_reference_recipe(ref, rng):
+    """60 CycleGAN steps at 32^2 (identity loss on) across BOTH the
+    50-image replay-buffer fill boundary and the LR knee."""
+    C = 9
+    CAP = 50
+    torch.manual_seed(47)
+    g_ab = ref.CycleGANGenerator(input_channels=C).train()
+    g_ba = ref.CycleGANGenerator(input_channels=C).train()
+    d_pre = ref.CycleGANDiscriminator(input_channels=C).train()
+    d_post = ref.CycleGANDiscriminator(input_channels=C).train()
+    opt_g = torch.optim.Adam(itertools.chain(g_ab.parameters(), g_ba.parameters()), lr=2e-4, betas=(0.5, 0.999))
+    opt_d = torch.optim.Adam(itertools.chain(d_post.parameters(), d_pre.parameters()), lr=2e-4, betas=(0.5, 0.999))
+    rule = _ref_lambda(CYCLE_NUM_EPOCHS)
+    sch_g = torch.optim.lr_scheduler.LambdaLR(opt_g, rule)
+    sch_d = torch.optim.lr_scheduler.LambdaLR(opt_d, rule)
+    buf_pre, buf_post = _RefBuffer(CAP), _RefBuffer(CAP)
+
+    trainer = CycleTrainer("cyclegan", C, add_identity_loss=True,
+                           phase_d=False, phase_gen=False)
+    fin = lambda t: ti.finalize_generator_params("cyclegan", t)
+
+    def _buffer_from_torch(buf):
+        """Our ring and the reference list are slot-coupled (fill appends
+        in order; steady-state stores land at the SAME rand_ix), so the
+        device buffer is the stacked torch list."""
+        imgs = np.zeros((CAP, 32, 32, C), np.float32)
+        for i, t in enumerate(buf.items):
+            imgs[i] = t.detach().numpy()[0].transpose(1, 2, 0)
+        return ImageBuffer(
+            images=jnp.asarray(imgs),
+            count=jnp.asarray(len(buf.items), jnp.int32),
+        )
+
+    def sync_state(count):
+        gen_params = {
+            "ab": fin(ti.params_from_torch(ti.cyclegan_generator_spec(), list(g_ab.named_parameters()))),
+            "ba": fin(ti.params_from_torch(ti.cyclegan_generator_spec(), list(g_ba.named_parameters()))),
+        }
+        disc_params = {
+            "pre": ti.params_from_torch(ti.patchgan_spec("instance"), list(d_pre.named_parameters())),
+            "post": ti.params_from_torch(ti.patchgan_spec("instance"), list(d_post.named_parameters())),
+        }
+        if count == 0:
+            gen_opt = trainer.tx.init(gen_params)
+            disc_opt = trainer.tx.init(disc_params)
+        else:
+            import optax
+
+            g_ab_opt = _adam_state_from_torch(ti.cyclegan_generator_spec(), g_ab.named_parameters(), opt_g, count, fin)
+            g_ba_opt = _adam_state_from_torch(ti.cyclegan_generator_spec(), g_ba.named_parameters(), opt_g, count, fin)
+            d_pre_opt = _adam_state_from_torch(ti.patchgan_spec("instance"), d_pre.named_parameters(), opt_d, count)
+            d_post_opt = _adam_state_from_torch(ti.patchgan_spec("instance"), d_post.named_parameters(), opt_d, count)
+            gen_opt = optax.ScaleByAdamState(
+                count=g_ab_opt.count,
+                mu={"ab": g_ab_opt.mu, "ba": g_ba_opt.mu},
+                nu={"ab": g_ab_opt.nu, "ba": g_ba_opt.nu},
+            )
+            disc_opt = optax.ScaleByAdamState(
+                count=d_pre_opt.count,
+                mu={"pre": d_pre_opt.mu, "post": d_post_opt.mu},
+                nu={"pre": d_pre_opt.nu, "post": d_post_opt.nu},
+            )
+        return CycleState(
+            gen_params=gen_params, disc_params=disc_params,
+            gen_opt=gen_opt, disc_opt=disc_opt,
+            pre_buffer=_buffer_from_torch(buf_pre),
+            post_buffer=_buffer_from_torch(buf_post),
+        )
+
+    mse, l1 = torch.nn.functional.mse_loss, torch.nn.functional.l1_loss
+
+    logs = []
+    step = 0
+    for epoch in range(CYCLE_NUM_EPOCHS):
+        state = sync_state(step)
+        lr = 2e-4 * lambda_rule(epoch, CYCLE_NUM_EPOCHS)
+        np.testing.assert_allclose(lr, opt_g.param_groups[0]["lr"], rtol=1e-12)
+        for _ in range(CYCLE_STEPS_PER_EPOCH):
+            x = rng.standard_normal((1, C, 32, 32), dtype=np.float32) * 0.5
+            y = rng.standard_normal((1, 3, 32, 32), dtype=np.float32) * 0.5
+            real_pre, out_img = torch.from_numpy(x), torch.from_numpy(y)
+            conditions = real_pre[:, 3:, :, :].detach().clone()
+            real_post = torch.cat((out_img, conditions), dim=1)
+
+            synthetic_post = g_ab(real_pre)
+            synthetic_pre = g_ba(real_post)
+            synthetic_post_c = torch.cat((synthetic_post, conditions), dim=1)
+            synthetic_pre_c = torch.cat((synthetic_pre, conditions), dim=1)
+            recreated_post = g_ab(synthetic_pre_c)
+            recreated_pre = g_ba(synthetic_post_c)
+
+            for d in (d_pre, d_post):
+                for p in d.parameters():
+                    p.requires_grad = False
+            opt_g.zero_grad()
+            identity_post = l1(g_ab(real_post), real_post[:, :3]) * 5
+            identity_pre = l1(g_ba(real_pre), real_pre[:, :3]) * 5
+            pd_post = d_post(synthetic_post_c)
+            post_gen_loss = mse(pd_post, torch.ones_like(pd_post))
+            pd_pre = d_pre(synthetic_pre_c)
+            pre_gen_loss = mse(pd_pre, torch.ones_like(pd_pre))
+            pre_to_post_cycle = l1(recreated_pre, real_pre[:, :3]) * 10
+            post_to_pre_cycle = l1(recreated_post, real_post[:, :3]) * 10
+            (post_gen_loss + pre_gen_loss + pre_to_post_cycle + post_to_pre_cycle
+             + identity_post + identity_pre).backward()
+            opt_g.step()
+            for d in (d_pre, d_post):
+                for p in d.parameters():
+                    p.requires_grad = True
+
+            step_key = jax.random.key(step)
+            (p_pre, ix_pre), (p_post, ix_post) = _buffer_decisions(step_key, CAP)
+            buffered_pre = buf_pre.query(synthetic_pre_c.detach(), p_pre, ix_pre)
+            buffered_post = buf_post.query(synthetic_post_c.detach(), p_post, ix_post)
+
+            opt_d.zero_grad()
+            pr = d_pre(real_pre); lr_pre = mse(pr, torch.ones_like(pr))
+            ps = d_pre(buffered_pre); ls_pre = mse(ps, torch.zeros_like(ps))
+            ((lr_pre + ls_pre) * 0.5).backward()
+            pr2 = d_post(real_post); lr_post = mse(pr2, torch.ones_like(pr2))
+            ps2 = d_post(buffered_post); ls_post = mse(ps2, torch.zeros_like(ps2))
+            ((lr_post + ls_post) * 0.5).backward()
+            opt_d.step()
+
+            state, m = trainer.train_step(
+                state, _nhwc(x), _nhwc(y), jnp.float32(lr), step_key
+            )
+            logs.append({k: (float(m[k]), t.item()) for k, t in [
+                ("losses_generator_post", post_gen_loss),
+                ("losses_generator_pre", pre_gen_loss),
+                ("losses_pre_to_post_cycle", pre_to_post_cycle),
+                ("losses_post_to_pre_cycle", post_to_pre_cycle),
+                ("losses_identity_post", identity_post),
+                ("losses_identity_pre", identity_pre),
+                ("losses_discriminator_pre_real", lr_pre),
+                ("losses_discriminator_post_real", lr_post),
+                ("losses_discriminator_pre_synthetic", ls_pre),
+                ("losses_discriminator_post_synthetic", ls_post),
+            ]})
+            step += 1
+        sch_g.step()
+        sch_d.step()
+
+    # fill boundary actually crossed: 60 items > 50 slots per direction
+    assert int(state.pre_buffer.count) == CAP
+    assert len(buf_pre.items) == CAP
+    # Per-step 5% over 5-step resync windows (measured drift ~1% at a
+    # window's end, worst key); a recipe bug (wrong buffer policy / lr /
+    # loss weight) shows as O(10-100%) on many elements.  Window means
+    # (the all_losses quantity) stay at 1.5%.
+    _assert_trajectories(logs, epoch_tol=1.5e-2, step_tol=5e-2,
+                         num_epochs=CYCLE_NUM_EPOCHS,
+                         steps_per_epoch=CYCLE_STEPS_PER_EPOCH)
