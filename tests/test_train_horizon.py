@@ -17,9 +17,10 @@ adversarial D/G losses are Lyapunov-unstable to parameter perturbations),
 so an uncoupled 60-step comparison cannot distinguish drift from bugs.
 The design here RESYNCS our state from torch at every epoch boundary
 (params + Adam moments + replay-buffer slots); each epoch is then a
-10-step golden launched from the evolved torch state, which is exactly
-what detects recipe bugs (wrong schedule, buffer policy, moment handling)
-while bounding chaos to one epoch's growth.
+multi-step golden (10 steps paired / 5 steps cycle) launched from the
+evolved torch state, which is exactly what detects recipe bugs (wrong
+schedule, buffer policy, moment handling) while bounding chaos to one
+epoch's growth.
 """
 
 import importlib.util
