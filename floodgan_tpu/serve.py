@@ -54,6 +54,7 @@ class InferenceEngine:
         seed: int = 47,
         compute_dtype: str = "bfloat16",
         aot: bool = True,
+        wire_dtype: str = "float32",
     ):
         from floodgan_tpu.train.paired import PairedTrainer
         from floodgan_tpu.train.cycle import CycleTrainer
@@ -66,6 +67,15 @@ class InferenceEngine:
         self.channels = TOPOGRAPHY_CHANNELS[topography]
         self.gen_params = gen_params
         self._key = RngStreams(seed).inference()
+        # Host->device transfer dtype for inputs.  The serving wall on
+        # thin links is wire bytes (a 512² batch-8 stack is 75 MB f32 —
+        # BENCH_NOTES round 5: 64x the device compute on the dev tunnel),
+        # so ``wire_dtype="bfloat16"`` halves them, quantizing the
+        # normalized [-1,1] inputs to 8 mantissa bits — the same opt-in
+        # tradeoff as the training loader's FLOODGAN_WIRE_DTYPE.  Inputs
+        # are upcast to f32 on device before the model's own
+        # compute-dtype policy applies, so only the wire is quantized.
+        self.wire_dtype = jnp.dtype(wire_dtype)
 
         # NB: the engine owns the top-level jit below, so it must call the
         # trainers' UNJITTED `_generate` bodies — their jitted `generate`
@@ -75,14 +85,14 @@ class InferenceEngine:
             trainer = CycleTrainer(model, self.channels, compute_dtype=compute_dtype)
 
             def forward(params, x):
-                out, _ = trainer._generate(params, x, "ab")
+                out, _ = trainer._generate(params, x.astype(jnp.float32), "ab")
                 return denormalize(out)
         else:
             trainer = PairedTrainer(model, self.channels, compute_dtype=compute_dtype)
             key = self._key
 
             def forward(params, x):
-                out, _ = trainer._generate(params, x, key)
+                out, _ = trainer._generate(params, x.astype(jnp.float32), key)
                 return denormalize(out)
 
         # The train steps' scoped-VMEM compiler default was measured on the
@@ -104,7 +114,8 @@ class InferenceEngine:
             # Ahead-of-time compile for the fixed serving shape so the
             # first request pays zero compilation latency.
             shape = jax.ShapeDtypeStruct(
-                (batch_size, image_size, image_size, self.channels), jnp.float32
+                (batch_size, image_size, image_size, self.channels),
+                self.wire_dtype,
             )
             params_shapes = jax.tree_util.tree_map(
                 lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)),
@@ -155,8 +166,11 @@ class InferenceEngine:
         return x
 
     def predict(self, inputs) -> jax.Array:
-        """Normalized (B, S, S, C) inputs -> (B, S, S, 3) images in [0,1]."""
-        inputs = jnp.asarray(inputs, jnp.float32)
+        """Normalized (B, S, S, C) inputs -> (B, S, S, 3) images in [0,1].
+
+        The host->device cast to ``wire_dtype`` happens here (numpy-side,
+        before the transfer), so thin links ship the quantized bytes."""
+        inputs = jnp.asarray(inputs, self.wire_dtype)
         if self._compiled is not None and inputs.shape == (
             self.batch_size, self.image_size, self.image_size, self.channels
         ):

@@ -246,3 +246,26 @@ def test_http_negative_content_length_rejected(tiny_engine):
     finally:
         server.shutdown()
         repo.close()
+
+
+def test_wire_dtype_bf16_quantizes_only_the_wire(tiny_engine, rng):
+    """wire_dtype="bfloat16" halves H2D bytes (BENCH_NOTES round 5); the
+    compiled signature takes bf16 inputs, outputs stay within the input
+    quantization error of the f32-wire engine, and the AOT path is hit."""
+    from floodgan_tpu.serve import InferenceEngine
+
+    bf16 = InferenceEngine(
+        "pairedattention", tiny_engine.gen_params, "all", batch_size=4,
+        image_size=32, compute_dtype="float32", wire_dtype="bfloat16",
+    )
+    x = rng.standard_normal((4, 32, 32, 9)).astype(np.float32)
+    ref = np.asarray(tiny_engine.predict(x), np.float32)
+    out = np.asarray(bf16.predict(x), np.float32)
+    assert out.shape == ref.shape
+    # bf16 wire quantizes inputs to 8 mantissa bits; through a tanh-headed
+    # generator the output error stays small but nonzero.
+    np.testing.assert_allclose(out, ref, atol=5e-2)
+    assert not np.array_equal(out, ref) or np.allclose(x, np.asarray(
+        np.asarray(x, dtype=jax.numpy.bfloat16), np.float32))
+    # deterministic AOT path (same compiled executable both calls)
+    np.testing.assert_array_equal(out, np.asarray(bf16.predict(x), np.float32))

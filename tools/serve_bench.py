@@ -25,6 +25,9 @@ def main() -> None:
     p.add_argument("--batches", type=int, nargs="+", default=[1, 8])
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--wire_dtype", default="float32",
+                   help="host->device input transfer dtype (bfloat16 "
+                        "halves wire bytes; BENCH_NOTES round 5)")
     p.add_argument("--frontend", action="store_true",
                    help="bench the BatchingFrontend micro-batcher under "
                         "concurrent client threads (p50/p99 per-request "
@@ -66,6 +69,7 @@ def main() -> None:
         engine = InferenceEngine(
             args.model, state.gen_params, "all",
             batch_size=b, image_size=args.size, compute_dtype=args.dtype,
+            wire_dtype=args.wire_dtype,
         )
         stats = engine.benchmark(iters=args.iters)
         print(json.dumps({
@@ -73,6 +77,7 @@ def main() -> None:
             "latency_ms": round(stats["latency_ms"], 3),
             "images_per_sec": round(stats["images_per_sec"], 2),
             "dtype": args.dtype,
+            "wire_dtype": args.wire_dtype,
         }))
 
 
@@ -94,7 +99,7 @@ def run_frontend(args, state) -> None:
     engine = InferenceEngine(
         args.model, state.gen_params, "all",
         batch_size=max(args.batches), image_size=args.size,
-        compute_dtype=args.dtype,
+        compute_dtype=args.dtype, wire_dtype=args.wire_dtype,
     )
     stack = np.random.default_rng(47).standard_normal(
         engine.input_shape, dtype=np.float32
@@ -138,6 +143,7 @@ def run_frontend(args, state) -> None:
             "max_delay_ms": args.max_delay_ms,
             "requests": total,
             "dtype": args.dtype,
+            "wire_dtype": args.wire_dtype,
         }))
 
 
