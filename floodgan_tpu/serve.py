@@ -201,6 +201,11 @@ class InferenceEngine:
 
 # ===================================================== dynamic micro-batching
 
+class FrontendOverloaded(RuntimeError):
+    """Raised by BatchingFrontend.submit when the pending backlog is at
+    ``max_pending`` — the caller should shed load or retry later."""
+
+
 def _fut_deliver(fut: Future, result=None, exc=None) -> None:
     """Deliver a result/exception to a waiter's Future, tolerating futures
     a client CANCELLED after submit (legal Future API: cancel() on a
@@ -227,9 +232,22 @@ class BatchingFrontend:
     futures in submission order.
     """
 
-    def __init__(self, engine: "InferenceEngine", max_delay_ms: float = 5.0):
+    def __init__(
+        self,
+        engine: "InferenceEngine",
+        max_delay_ms: float = 5.0,
+        max_pending: Optional[int] = None,
+    ):
         self.engine = engine
         self.max_delay = max_delay_ms / 1e3
+        # Admission control: with no bound, sustained oversubscription
+        # queues without limit (measured: 32 clients on a batch-8 engine
+        # ran p50 to 3 service periods and p99 to 17.5 s — BENCH_NOTES
+        # round 5).  ``max_pending`` caps the not-yet-flushed backlog;
+        # submits beyond it fail fast with ``FrontendOverloaded`` so
+        # callers can shed or retry instead of silently stacking latency.
+        self.max_pending = max_pending
+        self._pending = 0
         self._queue: "queue.Queue" = queue.Queue()
         self._closed = False
         self._lock = threading.Lock()
@@ -256,6 +274,12 @@ class BatchingFrontend:
         with self._lock:
             if self._closed:
                 raise RuntimeError("frontend is closed")
+            if self.max_pending is not None and self._pending >= self.max_pending:
+                raise FrontendOverloaded(
+                    f"{self._pending} requests pending (max_pending="
+                    f"{self.max_pending})"
+                )
+            self._pending += 1
             self._queue.put((stack, fut))
             self.requests += 1
         return fut
@@ -271,6 +295,7 @@ class BatchingFrontend:
                 "requests": self.requests,
                 "batches": self.batches,
                 "batch_size": self.engine.batch_size,
+                "pending": self._pending,
                 "mean_occupancy": self.batched_slots / (b * self.engine.batch_size),
             }
 
@@ -314,12 +339,15 @@ class BatchingFrontend:
         try:
             out = np.asarray(self.engine.predict(stacks))
         except Exception as e:  # surface device errors to every waiter
+            with self._lock:
+                self._pending -= len(group)
             for _, fut in group:
                 _fut_deliver(fut, exc=e)
             return
         with self._lock:
             self.batches += 1
             self.batched_slots += len(group)
+            self._pending -= len(group)
         for i, (_, fut) in enumerate(group):
             _fut_deliver(fut, result=out[i])
 
@@ -337,10 +365,18 @@ class ModelRepository:
     def __init__(self):
         self._frontends: dict = {}
 
-    def add(self, name: str, engine: "InferenceEngine", max_delay_ms: float = 5.0) -> None:
+    def add(
+        self,
+        name: str,
+        engine: "InferenceEngine",
+        max_delay_ms: float = 5.0,
+        max_pending: Optional[int] = None,
+    ) -> None:
         if name in self._frontends:
             raise ValueError(f"model {name!r} already registered")
-        self._frontends[name] = BatchingFrontend(engine, max_delay_ms=max_delay_ms)
+        self._frontends[name] = BatchingFrontend(
+            engine, max_delay_ms=max_delay_ms, max_pending=max_pending
+        )
 
     def add_checkpoint(self, name: str, ckpt_path: str, **engine_kwargs) -> None:
         self.add(name, InferenceEngine.from_checkpoint(ckpt_path, **engine_kwargs))
@@ -449,6 +485,10 @@ def serve_http(repo: ModelRepository, host: str = "127.0.0.1", port: int = 8000)
             try:
                 futs = [fe.submit(s) for s in batch]
                 out = np.stack([f.result(timeout=120) for f in futs])
+            except FrontendOverloaded as e:
+                # Admission-control rejection is the client's signal to
+                # back off, not a server fault.
+                return self._json(503, {"error": str(e), "retry": True})
             except Exception as e:
                 return self._json(500, {"error": str(e)})
             buf = io.BytesIO()

@@ -269,3 +269,72 @@ def test_wire_dtype_bf16_quantizes_only_the_wire(tiny_engine, rng):
         np.asarray(x, dtype=jax.numpy.bfloat16), np.float32))
     # deterministic AOT path (same compiled executable both calls)
     np.testing.assert_array_equal(out, np.asarray(bf16.predict(x), np.float32))
+
+
+def test_frontend_admission_control(tiny_engine):
+    """max_pending bounds the backlog (BENCH_NOTES round 5: unbounded
+    oversubscription queued 3 service periods deep): submits beyond the
+    cap fail fast with FrontendOverloaded, and admission recovers once
+    the backlog drains."""
+    import time
+
+    from floodgan_tpu.serve import BatchingFrontend, FrontendOverloaded
+
+    fe = BatchingFrontend(tiny_engine, max_delay_ms=200.0, max_pending=2)
+    x = np.zeros(tiny_engine.input_shape, np.float32)
+    f1 = fe.submit(x)
+    f2 = fe.submit(x)
+    with pytest.raises(FrontendOverloaded):
+        fe.submit(x)
+    assert fe.stats()["pending"] == 2
+    # the two admitted requests complete (batch flushes at max_delay)
+    f1.result(timeout=60)
+    f2.result(timeout=60)
+    # backlog drained -> admission recovers
+    deadline = time.monotonic() + 60
+    while True:
+        try:
+            f3 = fe.submit(x)
+            break
+        except FrontendOverloaded:
+            assert time.monotonic() < deadline
+            time.sleep(0.01)
+    f3.result(timeout=60)
+    assert fe.stats()["pending"] == 0
+    fe.close()
+
+
+def test_http_overload_returns_503(tiny_engine):
+    """The HTTP layer maps FrontendOverloaded to 503 + retry hint."""
+    import io
+    import threading
+    import urllib.request
+    import urllib.error
+
+    from floodgan_tpu.serve import ModelRepository, serve_http
+
+    repo = ModelRepository()
+    repo.add("flood", tiny_engine, max_delay_ms=5000.0, max_pending=1)
+    server = serve_http(repo, host="127.0.0.1", port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = server.server_address[1]
+        url = f"http://127.0.0.1:{port}/v1/models/flood:predict"
+        x = np.zeros(tiny_engine.input_shape, np.float32)
+        buf = io.BytesIO()
+        np.save(buf, x)
+        body = buf.getvalue()
+
+        # Occupy the single pending slot (worker waits out max_delay).
+        fut = repo.frontend("flood").submit(x)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                urllib.request.Request(url, data=body, method="POST"),
+                timeout=30,
+            )
+        assert ei.value.code == 503
+        fut.result(timeout=60)
+    finally:
+        server.shutdown()
+        repo.close()
