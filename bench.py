@@ -389,6 +389,12 @@ def run_pipeline(args) -> None:
             xb, yb = trainer.prepare_batch(batch["input"], batch["output"])
             state, metrics = trainer.train_step(state, xb, yb, lr, jax.random.key(step_i))
             step_i += 1
+        if step_i == 0:
+            raise SystemExit(
+                f"--mode pipeline produced zero batches: batch {args.batch} "
+                f"> {n_samples} fixture samples (raise --pipeline_images "
+                "or lower --batch)"
+            )
         sync(metrics)
 
         # pipelined steady state: post-transform cache (epochs >= 2 ship the
@@ -442,8 +448,18 @@ def run_pipeline(args) -> None:
         raw_bytes_per_sample = args.raw_size * args.raw_size * (9 + 3) * 4
         # Steady-state wire bytes: with the post-transform cache (default
         # on) epochs >= 2 ship the transformed feed tensors; without it
-        # every epoch ships the raw stacks.
-        post_cache = _flags.post_transform_cache()
+        # every epoch ships the raw stacks.  Gate the claim on the
+        # MEASURED hit rate of the last measured epoch, not the flag —
+        # the cache self-disables on splits that exceed its byte bound
+        # (pipeline.py capacity guard), and then the honest steady bytes
+        # are the raw ones.
+        total = max(loader.post_cache_total, 1)
+        post_cache_hit_rate = loader.post_cache_hits / total
+        post_cache = (
+            _flags.post_transform_cache()
+            and feed_bytes_per_sample is not None
+            and post_cache_hit_rate > 0.5
+        )
         wire_bytes = feed_bytes_per_sample if post_cache else raw_bytes_per_sample
         print(json.dumps({
             "metric": f"{args.model} {args.size}^2 end-to-end pipelined train "
@@ -460,6 +476,7 @@ def run_pipeline(args) -> None:
             "steady_wire_mb_per_sample": round(wire_bytes / 1e6, 1),
             "required_gbps_at_step_rate": round(step_only * wire_bytes / 1e9, 3),
             "post_transform_cache": post_cache,
+            "post_cache_hit_rate": round(post_cache_hit_rate, 3),
             "dataset": f"{n_samples} samples ({args.pipeline_images} images x2 versions), "
                        f"{steps_per_epoch} steps/epoch, {args.pipeline_epochs} measured epochs",
         }))

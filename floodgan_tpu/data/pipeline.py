@@ -104,6 +104,12 @@ class FloodDataset:
         # (file, version/flip, crop_index), and the transform config
         # (topography/resize/crop) is fixed per dataset instance.
         self._post_cache = _LruBytesCache(_DEFAULT_POST_CACHE_BYTES)
+        # Set once the first transformed batch reveals per-sample bytes:
+        # if the WHOLE split cannot fit under the byte bound, the cache
+        # can never reach a useful hit rate (a batch hits only when every
+        # sample is resident), so we disable it outright rather than
+        # thrash the LRU and pay a blocking D2H fetch per batch forever.
+        self._post_cache_disabled = False
         self._raw_shape = None
 
     def __len__(self) -> int:
@@ -215,6 +221,14 @@ class BatchLoader:
         self.drop_remainder = drop_remainder
         self.num_workers = num_workers
         self.prefetch = prefetch
+        # Post-transform-cache hit accounting for the CURRENT iteration
+        # (reset at iter_indices entry; read by bench.py --mode pipeline
+        # to report the steady wire budget only when the fast path
+        # actually served the epoch — the cache self-disables on splits
+        # that cannot fit, see FloodDataset._post_cache_disabled).
+        self.post_cache_hits = 0
+        self.post_cache_total = 0
+        self._counter_lock = threading.Lock()
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -233,6 +247,9 @@ class BatchLoader:
         """Iterate batches over an explicit sample-index order (the
         multi-host loader feeds each process its stripe through this)."""
         order = np.asarray(order)
+        with self._counter_lock:
+            self.post_cache_hits = 0
+            self.post_cache_total = 0
         batches = [
             order[i : i + self.batch_size] for i in range(0, len(order), self.batch_size)
         ]
@@ -251,6 +268,9 @@ class BatchLoader:
                 # and async).  Previously _assemble ran on the consumer
                 # thread at yield time, serializing H2D with the step.
                 cached = self._assemble_from_post_cache(idx_batch)
+                with self._counter_lock:
+                    self.post_cache_total += 1
+                    self.post_cache_hits += cached is not None
                 if cached is not None:
                     return cached
                 return self._assemble(idx_batch, self._load_raw_batch(idx_batch))
@@ -297,6 +317,7 @@ class BatchLoader:
         return (
             self.transform
             and isinstance(self.dataset, FloodDataset)
+            and not self.dataset._post_cache_disabled
             and flags.post_transform_cache()
         )
 
@@ -344,6 +365,30 @@ class BatchLoader:
                 crop=self.dataset.crop,
             )
             if self._post_cache_active():
+                # Capacity guard (shape arithmetic only — no fetch): a
+                # batch hits the cache only when EVERY sample is resident,
+                # so a split that cannot fit whole under the byte bound
+                # would keep a ~0 hit rate while paying the D2H fetch
+                # below on every batch, every epoch.  Disable loudly
+                # instead; FLOODGAN_POST_CACHE_BYTES raises the bound.
+                ds = self.dataset
+                per_sample = (
+                    int(np.prod(inp.shape[1:])) * inp.dtype.itemsize
+                    + int(np.prod(out.shape[1:])) * out.dtype.itemsize
+                )
+                if per_sample * len(ds) > ds._post_cache.max_bytes:
+                    ds._post_cache_disabled = True
+                    import warnings
+
+                    warnings.warn(
+                        "post-transform cache disabled: split needs "
+                        f"{per_sample * len(ds) >> 20} MB ({len(ds)} samples"
+                        f" x {per_sample / 2**20:.1f} MB) > "
+                        f"FLOODGAN_POST_CACHE_BYTES="
+                        f"{ds._post_cache.max_bytes >> 20} MB; raise the "
+                        "bound to enable the decode-free steady state"
+                    )
+                    return {"input": inp, "output": out, "names": names}
                 # One D2H fetch of the transform's own outputs populates
                 # the steady-state fast path (bit-identical by
                 # construction).  Copies break the view into the batch so

@@ -243,9 +243,13 @@ class BatchingFrontend:
         # Admission control: with no bound, sustained oversubscription
         # queues without limit (measured: 32 clients on a batch-8 engine
         # ran p50 to 3 service periods and p99 to 17.5 s — BENCH_NOTES
-        # round 5).  ``max_pending`` caps the not-yet-flushed backlog;
-        # submits beyond it fail fast with ``FrontendOverloaded`` so
-        # callers can shed or retry instead of silently stacking latency.
+        # round 5).  ``max_pending`` caps the QUEUED backlog (requests
+        # not yet dequeued into a batch); submits beyond it fail fast
+        # with ``FrontendOverloaded`` so callers can shed or retry
+        # instead of silently stacking latency.  Requests already
+        # dispatched to the device stop counting, so at-capacity load
+        # pipelines (the next batch forms while one executes) and total
+        # outstanding is bounded by max_pending + batch_size.
         self.max_pending = max_pending
         self._pending = 0
         self._queue: "queue.Queue" = queue.Queue()
@@ -283,6 +287,37 @@ class BatchingFrontend:
             self._queue.put((stack, fut))
             self.requests += 1
         return fut
+
+    def submit_many(self, stacks) -> list:
+        """Atomically admit a list of (S, S, C) inputs: either EVERY one
+        is enqueued (returned as futures, in order) or none is and
+        ``FrontendOverloaded`` raises.  Multi-image callers (the HTTP
+        batch endpoint) need the all-or-nothing form — admitting a prefix
+        and then failing would compute-and-discard the admitted images
+        while their slots 503 other clients."""
+        stacks = [np.asarray(s, np.float32) for s in stacks]
+        for s in stacks:
+            if s.shape != self.engine.input_shape:
+                raise ValueError(
+                    f"expected {self.engine.input_shape}, got {s.shape}"
+                )
+        futs = [Future() for _ in stacks]
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("frontend is closed")
+            if (
+                self.max_pending is not None
+                and self._pending + len(stacks) > self.max_pending
+            ):
+                raise FrontendOverloaded(
+                    f"{self._pending} requests pending + {len(stacks)} "
+                    f"submitted > max_pending={self.max_pending}"
+                )
+            for s, fut in zip(stacks, futs):
+                self._queue.put((s, fut))
+            self._pending += len(stacks)
+            self.requests += len(stacks)
+        return futs
 
     def predict(self, stack: np.ndarray, timeout: Optional[float] = None) -> np.ndarray:
         """Blocking single-image predict (thread-safe)."""
@@ -332,6 +367,11 @@ class BatchingFrontend:
 
     def _flush(self, group) -> None:
         bs = self.engine.batch_size
+        # The group has left the queue: admission reopens NOW, so the
+        # next batch forms while this one executes (pipelining; see
+        # max_pending semantics in __init__).
+        with self._lock:
+            self._pending -= len(group)
         stacks = np.stack([g[0] for g in group])
         if len(group) < bs:
             pad = np.zeros((bs - len(group),) + self.engine.input_shape, np.float32)
@@ -339,15 +379,12 @@ class BatchingFrontend:
         try:
             out = np.asarray(self.engine.predict(stacks))
         except Exception as e:  # surface device errors to every waiter
-            with self._lock:
-                self._pending -= len(group)
             for _, fut in group:
                 _fut_deliver(fut, exc=e)
             return
         with self._lock:
             self.batches += 1
             self.batched_slots += len(group)
-            self._pending -= len(group)
         for i, (_, fut) in enumerate(group):
             _fut_deliver(fut, result=out[i])
 
@@ -483,7 +520,7 @@ def serve_http(repo: ModelRepository, host: str = "127.0.0.1", port: int = 8000)
                     "error": f"expected (N,)+{fe.engine.input_shape}, got {arr.shape}"
                 })
             try:
-                futs = [fe.submit(s) for s in batch]
+                futs = fe.submit_many(list(batch))
                 out = np.stack([f.result(timeout=120) for f in futs])
             except FrontendOverloaded as e:
                 # Admission-control rejection is the client's signal to

@@ -264,6 +264,34 @@ def test_post_transform_cache_flag_off(tmp_path, monkeypatch):
     assert train._assemble_from_post_cache([0, 1]) is None
 
 
+def test_post_transform_cache_capacity_guard(tmp_path):
+    """A split that cannot fit whole under the cache byte bound disables
+    the post-transform cache loudly instead of thrashing (a batch hits
+    only when EVERY sample is resident, so a too-small cache would pay
+    the per-batch D2H fetch forever at ~0 hit rate)."""
+    import warnings
+
+    data_path, meta_dir = make_flood_fixture(tmp_path, size=32)
+    train, _, _ = create_flood_dataset(
+        "usa", "same", data_path, topography="all", resize=16, crop=None,
+        batch_size=2, metadata_dir=meta_dir,
+    )
+    train.dataset._post_cache.max_bytes = 1024  # << one sample
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        first = [np.asarray(b["input"]) for b in train.epoch_iter(epoch=1)]
+    assert any("post-transform cache disabled" in str(x.message) for x in w)
+    assert train.dataset._post_cache_disabled
+    assert len(train.dataset._post_cache._store) == 0  # nothing hoarded
+    # later epochs still produce correct batches via the raw path, and
+    # the hit counters show the fast path never served
+    second = [np.asarray(b["input"]) for b in train.epoch_iter(epoch=1)]
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a, b)
+    assert train.post_cache_hits == 0
+    assert train.post_cache_total == len(second)
+
+
 def test_masks_loader_end_to_end(tmp_path):
     data_path, meta_dir = make_masks_fixture(tmp_path, size=32)
     train, val, test = create_masks_dataset("usa", data_path, False, metadata_dir=meta_dir)

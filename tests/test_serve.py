@@ -338,3 +338,24 @@ def test_http_overload_returns_503(tiny_engine):
     finally:
         server.shutdown()
         repo.close()
+
+
+def test_submit_many_all_or_nothing(tiny_engine):
+    """Multi-image admission is atomic: when the batch doesn't fit under
+    max_pending, NO prefix is admitted (an admitted prefix would be
+    computed and discarded while occupying slots — HTTP finding, round 5)."""
+    from floodgan_tpu.serve import BatchingFrontend, FrontendOverloaded
+
+    fe = BatchingFrontend(tiny_engine, max_delay_ms=200.0, max_pending=3)
+    x = np.zeros(tiny_engine.input_shape, np.float32)
+    with pytest.raises(FrontendOverloaded):
+        fe.submit_many([x] * 4)
+    assert fe.stats()["pending"] == 0  # nothing admitted
+    futs = fe.submit_many([x, x, x])
+    with pytest.raises(FrontendOverloaded):
+        fe.submit(x)
+    for f in futs:
+        f.result(timeout=60)
+    with pytest.raises(ValueError):
+        fe.submit_many([np.zeros((8, 8, 9), np.float32)])
+    fe.close()
