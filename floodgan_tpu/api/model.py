@@ -42,7 +42,7 @@ from floodgan_tpu.core.rng import RngStreams
 from floodgan_tpu.data.pipeline import create_flood_dataset
 from floodgan_tpu.data.transforms import denormalize
 from floodgan_tpu.eval.lpips import load_lpips
-from floodgan_tpu.eval.metrics import MaskMetricsAccumulator, image_pair_metrics
+from floodgan_tpu.eval.metrics import MaskMetricsAccumulator
 from floodgan_tpu.parallel.mesh import make_mesh, replicate_tree, shard_images
 from floodgan_tpu.train.cycle import CycleTrainer
 from floodgan_tpu.train.paired import PairedTrainer
@@ -557,6 +557,18 @@ class Model:
         loader = self.test_loader if use_test_data else self.val_loader
         per_image = {k: [] for k in ["PSNR", "SSIM", "MS-SSIM", "LPIPS", "Inference"]}
         masks = MaskMetricsAccumulator()
+        # One compiled program for the whole metric block (denormalize +
+        # image metrics + both seg-U-Net mask forwards + confusion counts)
+        # and ONE small device_get per batch, instead of 4-5 dispatches
+        # and 2-3 blocking fetches (the per-batch sync itself is
+        # contractual: the generator is timed per call like the
+        # reference's per-image brackets, models/model.py:392-396).
+        from floodgan_tpu.eval.metrics import (
+            MS_SSIM_MIN_SIDE,
+            make_eval_batch_metrics,
+        )
+
+        eval_batch_metrics = make_eval_batch_metrics(seg.trainer._apply)
 
         for batch in loader.epoch_iter(epoch=0):
             x, y = batch["input"], batch["output"]
@@ -564,41 +576,38 @@ class Model:
             out, _ = self.generate(x)
             out.block_until_ready()
             inference_time = time.time() - start
-            y01 = denormalize(y)
-            out01 = denormalize(out)
             # see eval/metrics.MS_SSIM_MIN_SIDE for the bound's derivation
             # (true bound 176, not torchmetrics' documented 160); NaN the
             # column with one warning instead of failing the whole eval.
-            from floodgan_tpu.eval.metrics import MS_SSIM_MIN_SIDE
-
-            ms_ok = min(out01.shape[1], out01.shape[2]) >= MS_SSIM_MIN_SIDE
+            ms_ok = min(out.shape[1], out.shape[2]) >= MS_SSIM_MIN_SIDE
             if not ms_ok and not getattr(self, "_ms_ssim_warned", False):
                 print(
-                    f"WARNING: images are {out01.shape[1]}x{out01.shape[2]} "
+                    f"WARNING: images are {out.shape[1]}x{out.shape[2]} "
                     f"after resize/crop — MS-SSIM requires >={MS_SSIM_MIN_SIDE}px "
                     "per side (5 dyadic scales x 11-tap kernel); the MS-SSIM "
                     "column will be NaN for this run."
                 )
                 self._ms_ssim_warned = True
-            imgm = jax.device_get(image_pair_metrics(out01, y01, with_ms_ssim=ms_ok))
+            imgm, counts = jax.device_get(
+                eval_batch_metrics(seg.state.params, out, y, with_ms_ssim=ms_ok)
+            )
             per_image["PSNR"].extend(imgm["PSNR"].tolist())
             per_image["SSIM"].extend(imgm["SSIM"].tolist())
             per_image["MS-SSIM"].extend(
-                imgm["MS-SSIM"].tolist() if ms_ok else [float("nan")] * out01.shape[0]
+                imgm["MS-SSIM"].tolist() if ms_ok else [float("nan")] * out.shape[0]
             )
             if self.lpips is not None:
+                out01, y01 = denormalize(out), denormalize(y)
                 per_image["LPIPS"].extend(np.asarray(self.lpips(out01, y01)).tolist())
             else:
-                per_image["LPIPS"].extend([float("nan")] * out01.shape[0])
+                per_image["LPIPS"].extend([float("nan")] * out.shape[0])
             # Per-IMAGE wall time, as the reference records at its fixed
             # batch 1 (ref models/model.py:392-396,407): amortize the batch
             # call so the Inference column keeps its meaning (and the
             # 5-sample warmup discard in ModelsGroup keeps its scale) when
             # --batch_size > 1.
             per_image["Inference"].extend([inference_time / x.shape[0]] * x.shape[0])
-            out_mask = seg.predict_mask(out01)
-            true_mask = seg.predict_mask(y01)
-            masks.update(out_mask, true_mask)
+            masks.add_counts(counts)
 
         results = {k: float(np.mean(v)) for k, v in per_image.items()}
         results.update(masks.compute())

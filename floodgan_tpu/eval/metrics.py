@@ -181,6 +181,12 @@ class MaskMetricsAccumulator:
     def update(self, pred_mask: jax.Array, true_mask: jax.Array) -> None:
         self.counts += np.asarray(_confusion_counts(pred_mask, true_mask))
 
+    def add_counts(self, counts) -> None:
+        """Accumulate a precomputed (tp, fp, fn, tn) vector — the fused
+        eval step (make_eval_batch_metrics) returns counts alongside the
+        image metrics so the loop fetches everything in one device_get."""
+        self.counts += np.asarray(counts, dtype=np.int64)
+
     def compute(self) -> Dict[str, float]:
         tp, fp, fn, tn = (float(v) for v in self.counts)
         total = tp + fp + fn + tn
@@ -223,3 +229,42 @@ def _confusion_counts(pred_mask: jax.Array, true_mask: jax.Array) -> jax.Array:
     # int32 per update (accumulation to int64 happens host-side in numpy;
     # a single batch never reaches 2**31 pixels).
     return jnp.stack([tp, fp, fn, tn]).astype(jnp.int32)
+
+
+def make_eval_batch_metrics(seg_apply):
+    """Fuse the metric block of the eval hot loop into ONE compiled
+    dispatch (reference models/model.py:397-410 runs denormalize, the
+    image metrics, and two segmentation forwards as separate device
+    calls).  ``seg_apply(params, image) -> logits`` must be the trainer's
+    UNJITTED body (the jitted wrappers carry backend compiler options,
+    which JAX rejects on a nested jit).
+
+    The two U-Net forwards stay SEPARATE inside the program — the
+    reference never calls ``.eval()``, so BatchNorm uses per-call batch
+    statistics and concatenating generator output with ground truth into
+    one batch would mix their statistics (a numerics change, not a
+    lowering).  XLA still schedules both forwards in one program and the
+    caller pays one dispatch + one small device_get per batch instead of
+    4-5 dispatches and 2-3 blocking fetches.
+
+    Returns a jitted ``fn(seg_params, out, y, with_ms_ssim=) ->
+    (per_image_metric_dict, confusion_counts)`` taking NORMALIZED
+    ([-1,1]) generator output and target.
+    """
+
+    from floodgan_tpu.data.transforms import denormalize
+
+    @functools.partial(jax.jit, static_argnames="with_ms_ssim")
+    def eval_batch_metrics(seg_params, out, y, with_ms_ssim=True):
+        out01 = denormalize(out)
+        y01 = denormalize(y)
+        imgm = image_pair_metrics(out01, y01, with_ms_ssim=with_ms_ssim)
+        out_mask = (jax.nn.sigmoid(seg_apply(seg_params, out01)) > 0.5).astype(
+            jnp.float32
+        )
+        true_mask = (jax.nn.sigmoid(seg_apply(seg_params, y01)) > 0.5).astype(
+            jnp.float32
+        )
+        return imgm, _confusion_counts(out_mask, true_mask)
+
+    return eval_batch_metrics
