@@ -19,7 +19,7 @@ from floodgan_tpu.api import paths as pathlib_
 from floodgan_tpu.api.model import Model, to_display_image
 from floodgan_tpu.data.pipeline import create_flood_dataset
 from floodgan_tpu.data.transforms import denormalize, slice_topography
-from floodgan_tpu.eval.metrics import MaskMetricsAccumulator, image_pair_metrics
+from floodgan_tpu.eval.metrics import MaskMetricsAccumulator
 
 # Display-name -> topography key for the ablation comparison
 # (reference models/group.py:83-94).
@@ -129,6 +129,9 @@ class ModelsGroup:
             skip_data=True,
         )
         lpips = next(iter(self.models.values())).lpips
+        from floodgan_tpu.eval.metrics import make_eval_batch_metrics
+
+        eval_batch_metrics = make_eval_batch_metrics(seg.trainer._apply)
 
         per_image = {
             k: defaultdict(list) for k in ["PSNR", "SSIM", "MS-SSIM", "LPIPS", "Inference"]
@@ -156,21 +159,27 @@ class ModelsGroup:
                 out.block_until_ready()
                 inference_time = time.time() - start
 
-                y01 = denormalize(y)
-                out01 = denormalize(out)
                 from floodgan_tpu.eval.metrics import MS_SSIM_MIN_SIDE
 
-                ms_ok = min(out01.shape[1], out01.shape[2]) >= MS_SSIM_MIN_SIDE
-                imgm = jax.device_get(image_pair_metrics(out01, y01, with_ms_ssim=ms_ok))
+                ms_ok = min(out.shape[1], out.shape[2]) >= MS_SSIM_MIN_SIDE
+                # One compiled metric block + one device_get per
+                # (model, batch) — see eval/metrics.make_eval_batch_metrics
+                # (measured +10% on the single-model eval loop; this loop
+                # previously added B extra per-image seg dispatches for
+                # the disaster grouping on top).
+                imgm, counts = jax.device_get(
+                    eval_batch_metrics(seg.state.params, out, y, with_ms_ssim=ms_ok)
+                )
                 per_image["PSNR"][name].extend(imgm["PSNR"].tolist())
                 per_image["SSIM"][name].extend(imgm["SSIM"].tolist())
                 per_image["MS-SSIM"][name].extend(
-                    imgm["MS-SSIM"].tolist() if ms_ok else [float("nan")] * out01.shape[0]
+                    imgm["MS-SSIM"].tolist() if ms_ok else [float("nan")] * out.shape[0]
                 )
                 if lpips is not None:
+                    out01, y01 = denormalize(out), denormalize(y)
                     per_image["LPIPS"][name].extend(np.asarray(lpips(out01, y01)).tolist())
                 else:
-                    per_image["LPIPS"][name].extend([float("nan")] * out01.shape[0])
+                    per_image["LPIPS"][name].extend([float("nan")] * out.shape[0])
                 # per-image wall time (batch call amortized) — keeps the
                 # reference's per-image Inference semantics and the 5-sample
                 # warmup discard meaningful at --batch_size > 1.
@@ -178,13 +187,9 @@ class ModelsGroup:
                     [inference_time / xin.shape[0]] * xin.shape[0]
                 )
 
-                out_mask = seg.predict_mask(out01)
-                true_mask = seg.predict_mask(y01)
-                mask_acc[name].update(out_mask, true_mask)
+                mask_acc[name].add_counts(counts)
                 for b, disaster in enumerate(disasters):
-                    mask_acc_grouped[f"{name}_{disaster}"].update(
-                        out_mask[b:b + 1], true_mask[b:b + 1]
-                    )
+                    mask_acc_grouped[f"{name}_{disaster}"].add_counts(counts[b])
 
         # warmup discard (reference :198-200 drops the first model's first 5)
         for name in self.models:

@@ -182,10 +182,12 @@ class MaskMetricsAccumulator:
         self.counts += np.asarray(_confusion_counts(pred_mask, true_mask))
 
     def add_counts(self, counts) -> None:
-        """Accumulate a precomputed (tp, fp, fn, tn) vector — the fused
-        eval step (make_eval_batch_metrics) returns counts alongside the
-        image metrics so the loop fetches everything in one device_get."""
-        self.counts += np.asarray(counts, dtype=np.int64)
+        """Accumulate precomputed (tp, fp, fn, tn) counts — a single
+        vector or a (B, 4) per-image stack (the fused eval step returns
+        per-image counts so per-disaster grouping shares the same one
+        device_get; summing them here is exact)."""
+        c = np.asarray(counts, dtype=np.int64)
+        self.counts += c.reshape(-1, 4).sum(axis=0)
 
     def compute(self) -> Dict[str, float]:
         tp, fp, fn, tn = (float(v) for v in self.counts)
@@ -231,6 +233,21 @@ def _confusion_counts(pred_mask: jax.Array, true_mask: jax.Array) -> jax.Array:
     return jnp.stack([tp, fp, fn, tn]).astype(jnp.int32)
 
 
+@jax.jit
+def _confusion_counts_per_image(pred_mask: jax.Array, true_mask: jax.Array) -> jax.Array:
+    """(B, 4) per-image (tp, fp, fn, tn) — the per-image form lets one
+    fused fetch serve both the split-level accumulator and the
+    per-disaster grouped accumulators (group.py)."""
+    axes = tuple(range(1, pred_mask.ndim))
+    p = pred_mask > 0.5
+    t = true_mask > 0.5
+    tp = jnp.sum(p & t, axis=axes)
+    fp = jnp.sum(p & ~t, axis=axes)
+    fn = jnp.sum(~p & t, axis=axes)
+    tn = jnp.sum(~p & ~t, axis=axes)
+    return jnp.stack([tp, fp, fn, tn], axis=-1).astype(jnp.int32)
+
+
 def make_eval_batch_metrics(seg_apply):
     """Fuse the metric block of the eval hot loop into ONE compiled
     dispatch (reference models/model.py:397-410 runs denormalize, the
@@ -248,8 +265,10 @@ def make_eval_batch_metrics(seg_apply):
     4-5 dispatches and 2-3 blocking fetches.
 
     Returns a jitted ``fn(seg_params, out, y, with_ms_ssim=) ->
-    (per_image_metric_dict, confusion_counts)`` taking NORMALIZED
-    ([-1,1]) generator output and target.
+    (per_image_metric_dict, per_image_confusion_counts(B, 4))`` taking
+    NORMALIZED ([-1,1]) generator output and target.  Callers feed the
+    counts to ``MaskMetricsAccumulator.add_counts`` (which sums any
+    leading dims) and, for per-disaster grouping, slice rows.
     """
 
     from floodgan_tpu.data.transforms import denormalize
@@ -265,6 +284,6 @@ def make_eval_batch_metrics(seg_apply):
         true_mask = (jax.nn.sigmoid(seg_apply(seg_params, y01)) > 0.5).astype(
             jnp.float32
         )
-        return imgm, _confusion_counts(out_mask, true_mask)
+        return imgm, _confusion_counts_per_image(out_mask, true_mask)
 
     return eval_batch_metrics

@@ -278,3 +278,28 @@ def test_lpips_fallback_is_deterministic_and_live(monkeypatch):
 
     monkeypatch.delenv("FLOODGAN_LPIPS_FALLBACK")
     assert L.load_lpips() is None  # NaN column is the no-weights default
+
+
+def test_per_image_confusion_counts_match_batch(rng):
+    """The fused eval step's (B, 4) per-image counts sum to the batch
+    counts, and add_counts accepts both forms identically."""
+    from floodgan_tpu.eval.metrics import (
+        MaskMetricsAccumulator,
+        _confusion_counts,
+        _confusion_counts_per_image,
+    )
+
+    pred = (rng.random((4, 16, 16, 1)) > 0.5).astype(np.float32)
+    true = (rng.random((4, 16, 16, 1)) > 0.5).astype(np.float32)
+    per_image = np.asarray(_confusion_counts_per_image(pred, true))
+    batch = np.asarray(_confusion_counts(pred, true))
+    np.testing.assert_array_equal(per_image.sum(axis=0), batch)
+    assert per_image.shape == (4, 4)
+
+    a, b, c = MaskMetricsAccumulator(), MaskMetricsAccumulator(), MaskMetricsAccumulator()
+    a.update(pred, true)
+    b.add_counts(per_image)
+    for row in per_image:
+        c.add_counts(row)
+    np.testing.assert_array_equal(a.counts, b.counts)
+    np.testing.assert_array_equal(a.counts, c.counts)
