@@ -272,7 +272,7 @@ def run_eval(args) -> None:
     ms_ok = args.size >= MS_SSIM_MIN_SIDE
     masks = MaskMetricsAccumulator()
 
-    fused = make_eval_batch_metrics(seg._apply)
+    fused = make_eval_batch_metrics(seg._predict_mask)
 
     def eval_batch(xx, yy):
         # One compiled metric block + one device_get per batch (the fused

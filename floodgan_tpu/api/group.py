@@ -19,7 +19,11 @@ from floodgan_tpu.api import paths as pathlib_
 from floodgan_tpu.api.model import Model, to_display_image
 from floodgan_tpu.data.pipeline import create_flood_dataset
 from floodgan_tpu.data.transforms import denormalize, slice_topography
-from floodgan_tpu.eval.metrics import MaskMetricsAccumulator
+from floodgan_tpu.eval.metrics import (
+    MS_SSIM_MIN_SIDE,
+    MaskMetricsAccumulator,
+    make_eval_batch_metrics,
+)
 
 # Display-name -> topography key for the ablation comparison
 # (reference models/group.py:83-94).
@@ -129,9 +133,7 @@ class ModelsGroup:
             skip_data=True,
         )
         lpips = next(iter(self.models.values())).lpips
-        from floodgan_tpu.eval.metrics import make_eval_batch_metrics
-
-        eval_batch_metrics = make_eval_batch_metrics(seg.trainer._apply)
+        eval_batch_metrics = make_eval_batch_metrics(seg.trainer._predict_mask)
 
         per_image = {
             k: defaultdict(list) for k in ["PSNR", "SSIM", "MS-SSIM", "LPIPS", "Inference"]
@@ -151,6 +153,16 @@ class ModelsGroup:
             topography_inputs = (
                 self.extract_input_topography(x) if self.compare == "topography" else None
             )
+            # The ground-truth mask is identical for every compared model:
+            # run the y-side U-Net once per batch and feed it to each
+            # model's fused metric call — N models pay 1 + N seg forwards
+            # per batch instead of 2N.
+            batch_true_mask = eval_batch_metrics.true_mask(seg.state.params, y)
+            # Drain the queue before the first model's timed generate —
+            # a pending U-Net forward would otherwise inflate its
+            # per-image Inference bracket (reference group.py:155-159
+            # times each generator call alone).
+            batch_true_mask.block_until_ready()
 
             for name, model in self.models.items():
                 xin = topography_inputs[name] if topography_inputs is not None else x
@@ -159,8 +171,6 @@ class ModelsGroup:
                 out.block_until_ready()
                 inference_time = time.time() - start
 
-                from floodgan_tpu.eval.metrics import MS_SSIM_MIN_SIDE
-
                 ms_ok = min(out.shape[1], out.shape[2]) >= MS_SSIM_MIN_SIDE
                 # One compiled metric block + one device_get per
                 # (model, batch) — see eval/metrics.make_eval_batch_metrics
@@ -168,7 +178,10 @@ class ModelsGroup:
                 # previously added B extra per-image seg dispatches for
                 # the disaster grouping on top).
                 imgm, counts = jax.device_get(
-                    eval_batch_metrics(seg.state.params, out, y, with_ms_ssim=ms_ok)
+                    eval_batch_metrics.with_true_mask(
+                        seg.state.params, out, y, batch_true_mask,
+                        with_ms_ssim=ms_ok,
+                    )
                 )
                 per_image["PSNR"][name].extend(imgm["PSNR"].tolist())
                 per_image["SSIM"][name].extend(imgm["SSIM"].tolist())

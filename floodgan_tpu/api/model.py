@@ -568,7 +568,7 @@ class Model:
             make_eval_batch_metrics,
         )
 
-        eval_batch_metrics = make_eval_batch_metrics(seg.trainer._apply)
+        eval_batch_metrics = make_eval_batch_metrics(seg.trainer._predict_mask)
 
         for batch in loader.epoch_iter(epoch=0):
             x, y = batch["input"], batch["output"]

@@ -221,23 +221,12 @@ class MaskMetricsAccumulator:
 
 
 @jax.jit
-def _confusion_counts(pred_mask: jax.Array, true_mask: jax.Array) -> jax.Array:
-    p = pred_mask > 0.5
-    t = true_mask > 0.5
-    tp = jnp.sum(p & t)
-    fp = jnp.sum(p & ~t)
-    fn = jnp.sum(~p & t)
-    tn = jnp.sum(~p & ~t)
-    # int32 per update (accumulation to int64 happens host-side in numpy;
-    # a single batch never reaches 2**31 pixels).
-    return jnp.stack([tp, fp, fn, tn]).astype(jnp.int32)
-
-
-@jax.jit
 def _confusion_counts_per_image(pred_mask: jax.Array, true_mask: jax.Array) -> jax.Array:
     """(B, 4) per-image (tp, fp, fn, tn) — the per-image form lets one
     fused fetch serve both the split-level accumulator and the
-    per-disaster grouped accumulators (group.py)."""
+    per-disaster grouped accumulators (group.py).  int32 per update
+    (accumulation to int64 happens host-side in numpy; a single image
+    never reaches 2**31 pixels)."""
     axes = tuple(range(1, pred_mask.ndim))
     p = pred_mask > 0.5
     t = true_mask > 0.5
@@ -248,13 +237,23 @@ def _confusion_counts_per_image(pred_mask: jax.Array, true_mask: jax.Array) -> j
     return jnp.stack([tp, fp, fn, tn], axis=-1).astype(jnp.int32)
 
 
-def make_eval_batch_metrics(seg_apply):
+@jax.jit
+def _confusion_counts(pred_mask: jax.Array, true_mask: jax.Array) -> jax.Array:
+    """Batch-total (tp, fp, fn, tn): the per-image form summed — one
+    count definition, two shapes (pinned equal in tests)."""
+    return jnp.sum(_confusion_counts_per_image(pred_mask, true_mask), axis=0)
+
+
+@functools.lru_cache(maxsize=8)
+def make_eval_batch_metrics(seg_predict_mask):
     """Fuse the metric block of the eval hot loop into ONE compiled
     dispatch (reference models/model.py:397-410 runs denormalize, the
     image metrics, and two segmentation forwards as separate device
-    calls).  ``seg_apply(params, image) -> logits`` must be the trainer's
-    UNJITTED body (the jitted wrappers carry backend compiler options,
-    which JAX rejects on a nested jit).
+    calls).  ``seg_predict_mask(params, image) -> float mask`` must be
+    the seg trainer's UNJITTED ``_predict_mask`` body (the jitted
+    wrappers carry backend compiler options, which JAX rejects on a
+    nested jit; reusing the trainer's own body keeps the sigmoid>0.5
+    threshold defined in exactly one place).
 
     The two U-Net forwards stay SEPARATE inside the program — the
     reference never calls ``.eval()``, so BatchNorm uses per-call batch
@@ -269,21 +268,47 @@ def make_eval_batch_metrics(seg_apply):
     NORMALIZED ([-1,1]) generator output and target.  Callers feed the
     counts to ``MaskMetricsAccumulator.add_counts`` (which sums any
     leading dims) and, for per-disaster grouping, slice rows.
+
+    Two attributes support multi-model comparison (group.py), where the
+    ground-truth side is identical for every model in a batch:
+    ``fn.true_mask(seg_params, y)`` computes the reference mask once per
+    batch, and ``fn.with_true_mask(seg_params, out, y, true_mask,
+    with_ms_ssim=)`` skips the y-side U-Net forward — N compared models
+    pay 1 + N forwards per batch instead of 2N.
+
+    lru_cached so repeated ``calculate_metrics`` calls in one process
+    reuse the jitted closures (bound methods of the same trainer hash
+    equal), instead of recompiling the fused program per call.
     """
 
     from floodgan_tpu.data.transforms import denormalize
 
     @functools.partial(jax.jit, static_argnames="with_ms_ssim")
-    def eval_batch_metrics(seg_params, out, y, with_ms_ssim=True):
+    def with_true_mask(seg_params, out, y, true_mask, with_ms_ssim=True):
         out01 = denormalize(out)
         y01 = denormalize(y)
         imgm = image_pair_metrics(out01, y01, with_ms_ssim=with_ms_ssim)
-        out_mask = (jax.nn.sigmoid(seg_apply(seg_params, out01)) > 0.5).astype(
-            jnp.float32
-        )
-        true_mask = (jax.nn.sigmoid(seg_apply(seg_params, y01)) > 0.5).astype(
-            jnp.float32
-        )
+        out_mask = seg_predict_mask(seg_params, out01)
         return imgm, _confusion_counts_per_image(out_mask, true_mask)
 
+    @jax.jit
+    def true_mask_fn(seg_params, y):
+        return seg_predict_mask(seg_params, denormalize(y))
+
+    @functools.partial(jax.jit, static_argnames="with_ms_ssim")
+    def _full(seg_params, out, y, with_ms_ssim=True):
+        out01 = denormalize(out)
+        y01 = denormalize(y)
+        imgm = image_pair_metrics(out01, y01, with_ms_ssim=with_ms_ssim)
+        out_mask = seg_predict_mask(seg_params, out01)
+        true_mask = seg_predict_mask(seg_params, y01)
+        return imgm, _confusion_counts_per_image(out_mask, true_mask)
+
+    # plain-function wrapper so the two comparison-loop entry points can
+    # ride along as attributes (jit objects reject attribute assignment)
+    def eval_batch_metrics(seg_params, out, y, with_ms_ssim=True):
+        return _full(seg_params, out, y, with_ms_ssim=with_ms_ssim)
+
+    eval_batch_metrics.with_true_mask = with_true_mask
+    eval_batch_metrics.true_mask = true_mask_fn
     return eval_batch_metrics

@@ -303,3 +303,36 @@ def test_per_image_confusion_counts_match_batch(rng):
         c.add_counts(row)
     np.testing.assert_array_equal(a.counts, b.counts)
     np.testing.assert_array_equal(a.counts, c.counts)
+
+
+def test_fused_eval_variants_agree(rng):
+    """fn(...) == fn.with_true_mask(..., fn.true_mask(...)) and the
+    lru-cached factory returns the same compiled closure for the same
+    trainer (bound methods of one object hash equal)."""
+    import jax
+    import jax.numpy as jnp
+
+    from floodgan_tpu.eval.metrics import make_eval_batch_metrics
+    from floodgan_tpu.train.seg import SegTrainer
+
+    seg = SegTrainer()
+    params = seg.init(jax.random.key(1), jnp.zeros((1, 16, 16, 3))).params
+    fn = make_eval_batch_metrics(seg._predict_mask)
+    assert make_eval_batch_metrics(seg._predict_mask) is fn
+
+    out = jnp.asarray(rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32))
+    imgm_a, counts_a = jax.device_get(fn(params, out, y, with_ms_ssim=False))
+    tm = fn.true_mask(params, y)
+    imgm_b, counts_b = jax.device_get(
+        fn.with_true_mask(params, out, y, tm, with_ms_ssim=False)
+    )
+    np.testing.assert_array_equal(counts_a, counts_b)
+    for k in imgm_a:
+        np.testing.assert_array_equal(imgm_a[k], imgm_b[k])
+    # true_mask is the trainer's own predict_mask on the denormalized y
+    from floodgan_tpu.data.transforms import denormalize
+
+    np.testing.assert_array_equal(
+        np.asarray(tm), np.asarray(seg.predict_mask(params, denormalize(y)))
+    )

