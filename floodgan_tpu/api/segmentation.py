@@ -176,13 +176,31 @@ class SegmentationModel:
     def calculate_metrics(self, use_test_data: bool = False):
         """(reference :136-177) — metrics over the pixel concatenation of
         the whole split."""
+        import functools
+
+        import jax
+
+        from floodgan_tpu.eval.metrics import _confusion_counts_per_image
+
         loader = self.test_loader if use_test_data else self.val_loader
         acc = MaskMetricsAccumulator()
         print("\nCalculating metrics...")
+
+        # One compiled dispatch + one 4-int fetch per batch (U-Net forward
+        # + both thresholds + confusion counts), the same fusion the GAN
+        # eval loop measured +10% from (eval/metrics.py).  Threshold
+        # bodies are the class's own tensor_to_mask semantics
+        # (reference segmentation_model.py:244-248).
+        @functools.partial(jax.jit)
+        def seg_eval_batch(params, image, true):
+            pred = self.trainer._predict_mask(params, image)
+            tm = (true > 0.5).astype(pred.dtype)
+            return _confusion_counts_per_image(pred, tm)
+
         for batch in loader.epoch_iter(epoch=0):
-            predicted = self.predict_mask(batch["input"])
-            true_mask = self.tensor_to_mask(batch["output"], predicted=False)
-            acc.update(predicted, true_mask)
+            acc.add_counts(
+                seg_eval_batch(self.state.params, batch["input"], batch["output"])
+            )
         results = acc.compute()
         order = [
             "MSE", "Accuracy", "F1_Flood", "Precision_Flood", "Recall_Flood",
